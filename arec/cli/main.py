@@ -1,0 +1,67 @@
+"""CLI driver — the rebuild of `python hmf/run_mf.py --flag ...` /
+`python lstm/run.py --flag ...` (SURVEY.md §2.1 driver rows, §5 config
+system). One entry point for both model families:
+
+    python -m arec.cli.main --config configs/c1_mf_id_ml1m.json
+    python -m arec.cli.main --config ... --set train.batch_size=256 \
+        --set mesh.model=4
+    python -m arec.cli.main --config ... --recommend --out top30.tsv
+
+Flags are dotted section.field overrides of the dataclass config
+(arec/config.py); --recommend switches to the top-K emission mode
+(SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def parse_args(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", help="JSON config file (see configs/)")
+    ap.add_argument("--set", action="append", default=[],
+                    metavar="SECTION.FIELD=VALUE",
+                    help="config override, e.g. train.batch_size=256")
+    ap.add_argument("--recommend", action="store_true",
+                    help="skip training; restore + emit top-K lists")
+    ap.add_argument("--out", default="",
+                    help="submission-style output path for --recommend")
+    return ap.parse_args(argv)
+
+
+def load_config(args):
+    from arec.config import Config
+    cfg = Config()
+    if args.config:
+        with open(args.config) as f:
+            cfg = Config.from_json(f.read())
+    overrides = {}
+    for item in args.set:
+        key, _, value = item.partition("=")
+        if not value:
+            raise SystemExit(f"--set needs SECTION.FIELD=VALUE, got {item!r}")
+        overrides[key] = value
+    return cfg.override(overrides) if overrides else cfg
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = load_config(args)
+    from arec.train.loop import Trainer
+    trainer = Trainer(cfg)
+    if args.recommend:
+        rows = trainer.recommend(out_path=args.out or None)
+        recall = trainer.evaluate()
+        print(json.dumps({"users": len(rows),
+                          f"recall@{cfg.train.eval_topk}": recall}))
+        return 0
+    summary = trainer.train()
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

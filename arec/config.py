@@ -1,0 +1,138 @@
+"""Config system — the rebuild of the reference's per-script `tf.app.flags`.
+
+The reference defines dozens of flags per run script (SURVEY.md §5 "Config /
+flag system"); here the canonical set is one frozen dataclass per concern,
+serialized alongside checkpoints, with CLI overrides (see arec/cli/).
+
+The 5 graded configs of BASELINE.json:6-12 are checked in under configs/.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset selection + vocabulary policy (ref flags: --dataset, --raw_data,
+    --data_dir, --item_vocab_size, --vocab_min_thresh, --user_sample)."""
+
+    dataset: str = "synthetic"  # {synthetic, ml1m, xing}
+    raw_dir: str = ""           # directory with raw CSV dumps
+    data_dir: str = "_data"     # prepared-artifact cache
+    item_vocab_size: int = 0    # 0 = unlimited; else truncate to top-N by freq
+    vocab_min_thresh: int = 2   # min occurrences before an attr value gets an id
+    user_sample: float = 1.0    # subsample fraction of users
+    # synthetic generator knobs (test/bench only)
+    syn_users: int = 2000
+    syn_items: int = 1500
+    syn_interactions: int = 60000
+    syn_seed: int = 0
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Model family + architecture (ref flags: --size, --num_layers, --L,
+    --use_concat, --nonlinear, --keep_prob)."""
+
+    model: str = "mf"           # {mf, lstm}
+    dim: int = 64               # embedding size (ref: --size)
+    use_attributes: bool = True # False → ID-only embeddings (configs 1 & 3)
+    fusion: str = "concat"      # {concat, sum} (ref: --use_concat)
+    nonlinear: bool = False     # extra tanh MLP layer inside fusion
+    keep_prob: float = 1.0      # dropout keep probability
+    # sequence model only
+    cell: str = "lstm"          # {lstm, gru}
+    num_layers: int = 1
+    max_seq_len: int = 30       # ref: --L; sequences truncated/padded to this
+    use_pallas_scan: bool = True  # Pallas fused-gate scan vs lax.scan reference
+    concat_user: bool = False   # prepend/add user embedding to each seq input
+    tie_output: bool = False    # reuse fused item encoder as the output table
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimization + schedule (ref flags: --batch_size, --learning_rate,
+    --learning_rate_decay_factor, --n_epoch, --steps_per_checkpoint, --loss,
+    --num_sampled)."""
+
+    batch_size: int = 64        # GLOBAL batch size (split across data shards)
+    learning_rate: float = 0.1
+    lr_decay: float = 0.95      # applied on valid-loss plateau
+    optimizer: str = "adagrad"  # {adagrad, sgd, adam}
+    n_epoch: int = 10
+    steps_per_checkpoint: int = 200
+    loss: str = "ce"            # {ce, warp, bpr, mw, bbpr}; lstm: {ce, mce}
+    num_sampled: int = 256      # negatives per step (shared across batch)
+    seed: int = 0
+    eval_topk: int = 30         # Recall@30 is the graded metric (BASELINE.json:2)
+    train_dir: str = "_train"
+    max_steps: int = 0          # 0 = unlimited (epoch-bounded); else hard cap
+    compute_dtype: str = "bfloat16"  # matmul input dtype; params stay fp32
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh + sharding strategy (new vs reference — SURVEY.md §2.3).
+
+    Axes: ("data", "model"). Batch is sharded over "data"; embedding tables
+    are row-sharded over "model"; dense params are replicated. data=model=1
+    degrades to the single-device path.
+    """
+
+    data: int = 1
+    model: int = 1
+    lookup: str = "alltoall"    # {alltoall, gspmd}: explicit shard_map exchange
+                                # vs XLA-chosen collectives
+    capacity_factor: float = 1.0  # per-destination-shard bucket slack for the
+                                  # all-to-all exchange (1.0 = worst case safe)
+
+
+@dataclass(frozen=True)
+class Config:
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    # ---- serialization ----------------------------------------------------
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "Config":
+        raw = json.loads(s)
+        return Config(
+            data=DataConfig(**raw.get("data", {})),
+            model=ModelConfig(**raw.get("model", {})),
+            train=TrainConfig(**raw.get("train", {})),
+            mesh=MeshConfig(**raw.get("mesh", {})),
+        )
+
+    def replace(self, **sections: Any) -> "Config":
+        return dataclasses.replace(self, **sections)
+
+    def override(self, dotted: dict[str, Any]) -> "Config":
+        """Apply {"train.batch_size": 128}-style CLI overrides."""
+        sections: dict[str, dict[str, Any]] = {}
+        for key, value in dotted.items():
+            sec, _, name = key.partition(".")
+            if not name:
+                raise ValueError(f"override key must be section.field: {key!r}")
+            sections.setdefault(sec, {})[name] = value
+        out = self
+        for sec, fields in sections.items():
+            cur = getattr(out, sec)
+            coerced = {}
+            for name, value in fields.items():
+                if not hasattr(cur, name):
+                    raise ValueError(f"unknown config field {sec}.{name}")
+                want = type(getattr(cur, name))
+                if isinstance(value, str) and want is not str:
+                    value = want(json.loads(value)) if want is bool else want(value)
+                coerced[name] = value
+            out = dataclasses.replace(out, **{sec: dataclasses.replace(cur, **coerced)})
+        return out

@@ -1,0 +1,267 @@
+"""Prepared-dataset container + batch iterators.
+
+Rebuild of the reference's "shared data loading glue" + the HMF batcher +
+the LSTM `DataIterator` (SURVEY.md §2.1, §3.1-3.2): prepared index arrays in,
+fixed-shape device batches out.
+
+Split protocol (SURVEY.md §3.4): interactions are time-sorted per user; the
+LAST interaction of each user (by time, ties by original order) is held out
+as the validation positive; everything earlier is train. Users with < 2
+interactions contribute no validation positive.
+
+TPU-first departures:
+  * No bucketing. The reference builds one TF graph per bucket length
+    (SURVEY.md §3.2); here every sequence batch is packed to a fixed
+    `max_seq_len` (truncate the oldest, pad the newest) so one jitted graph
+    serves all batches (SURVEY.md §5 "Long-context").
+  * Deterministic epoch order keyed on (seed, epoch) so restart-from-
+    checkpoint is exact (SURVEY.md §5 "Failure detection").
+  * Multi-host: each host iterates only its own slice of the per-epoch
+    permutation (host h takes positions h, h+H, h+2H, ...), so the global
+    batch is formed without any host-to-host data motion
+    (SURVEY.md §7 "Multi-host input pipeline").
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import numpy as np
+
+from arec.data.schema import AttributeData, EntitySchema, pad_mulhot
+
+
+@dataclass
+class PreparedDataset:
+    """Everything both model families consume, host-side numpy."""
+
+    name: str
+    user_schema: EntitySchema
+    item_schema: EntitySchema
+    user_attrs: AttributeData
+    item_attrs: AttributeData
+
+    # train interactions, time-sorted per user then concatenated by user
+    train_users: np.ndarray    # int32 [Ntr]
+    train_items: np.ndarray    # int32 [Ntr]
+
+    # held-out validation positives (≤ 1 per user)
+    valid_users: np.ndarray    # int32 [Nv]
+    valid_items: np.ndarray    # int32 [Nv]
+
+    # eval-time seen-item masking (SURVEY.md §3.3): padded per-user seen lists
+    seen_items: np.ndarray     # int32 [num_users, max_seen], PAD = -1
+    seen_lengths: np.ndarray   # int32 [num_users]
+
+    # item popularity (train counts), aligned with the freq-sorted item ids
+    item_freq: np.ndarray      # int64 [num_items]
+
+    # per-user train history in time order, padded-dense (newest last)
+    hist_items: np.ndarray = field(default=None)   # int32 [num_users, max_hist]
+    hist_lengths: np.ndarray = field(default=None) # int32 [num_users]
+
+    @property
+    def num_users(self) -> int:
+        return self.user_schema.num_entities
+
+    @property
+    def num_items(self) -> int:
+        return self.item_schema.num_entities
+
+    def validate(self) -> None:
+        self.user_attrs.validate()
+        self.item_attrs.validate()
+        assert self.train_users.shape == self.train_items.shape
+        assert self.valid_users.shape == self.valid_items.shape
+        assert self.item_freq.shape == (self.num_items,)
+        # item ids must be frequency-sorted (sampler contract, schema.py)
+        assert (np.diff(self.item_freq) <= 0).all(), "item ids not freq-sorted"
+
+
+def build_prepared(
+    name: str,
+    user_schema: EntitySchema,
+    item_schema: EntitySchema,
+    user_attrs: AttributeData,
+    item_attrs: AttributeData,
+    users: np.ndarray,
+    items: np.ndarray,
+    times: np.ndarray,
+    max_hist: int = 256,
+) -> PreparedDataset:
+    """Shared tail of every dataset prep: time-sort per user, temporal
+    leave-one-out split, seen lists, histories. `items` must already be
+    frequency-rank ids."""
+    users = np.asarray(users, np.int32)
+    items = np.asarray(items, np.int32)
+    times = np.asarray(times, np.int64)
+    n = len(users)
+    assert len(items) == n and len(times) == n
+
+    order = np.lexsort((np.arange(n), times, users))  # by user, time, orig idx
+    users, items, times = users[order], items[order], times[order]
+
+    num_users = user_schema.num_entities
+    num_items = item_schema.num_entities
+
+    # last index per user = validation positive
+    is_last = np.ones(n, bool)
+    is_last[:-1] = users[:-1] != users[1:]
+    counts = np.bincount(users, minlength=num_users)
+    has_valid = counts[users] >= 2
+    valid_mask = is_last & has_valid
+    train_mask = ~valid_mask
+
+    train_users, train_items = users[train_mask], items[train_mask]
+    valid_users, valid_items = users[valid_mask], items[valid_mask]
+
+    # seen lists over TRAIN interactions only (eval must not mask the target)
+    seen_lists: list[list[int]] = [[] for _ in range(num_users)]
+    for u, i in zip(train_users, train_items):
+        seen_lists[u].append(int(i))
+    # dedupe preserving order
+    for u in range(num_users):
+        seen_lists[u] = list(dict.fromkeys(seen_lists[u]))
+    max_seen = max(1, max(len(s) for s in seen_lists))
+    seen_items, seen_lengths = pad_mulhot(seen_lists, max_seen)
+
+    # per-user history, newest last, truncated to max_hist most-recent
+    hist_lists: list[list[int]] = [[] for _ in range(num_users)]
+    for u, i in zip(train_users, train_items):
+        hist_lists[u].append(int(i))
+    hist_lists = [h[-max_hist:] for h in hist_lists]
+    max_h = max(1, max(len(h) for h in hist_lists))
+    hist_items, hist_lengths = pad_mulhot(hist_lists, max_h)
+
+    # full-data counts: item ids are frequency ranks over ALL interactions
+    # (assigned at vocab-build time, before the split), so the stored freq
+    # must use the same population to stay monotone.
+    item_freq = np.bincount(items, minlength=num_items).astype(np.int64)
+
+    ds = PreparedDataset(
+        name=name,
+        user_schema=user_schema,
+        item_schema=item_schema,
+        user_attrs=user_attrs,
+        item_attrs=item_attrs,
+        train_users=train_users,
+        train_items=train_items,
+        valid_users=valid_users,
+        valid_items=valid_items,
+        seen_items=seen_items,
+        seen_lengths=seen_lengths,
+        item_freq=item_freq,
+        hist_items=hist_items,
+        hist_lengths=hist_lengths,
+    )
+    return ds
+
+
+# --------------------------------------------------------------------------
+# Batch iterators
+# --------------------------------------------------------------------------
+
+def _epoch_perm(n: int, seed: int, epoch: int) -> np.ndarray:
+    return np.random.default_rng(np.random.SeedSequence([seed, epoch])).permutation(n)
+
+
+def mf_batches(
+    ds: PreparedDataset,
+    batch_size: int,
+    seed: int,
+    epoch: int,
+    host_id: int = 0,
+    num_hosts: int = 1,
+    drop_remainder: bool = True,
+) -> Iterator[dict[str, np.ndarray]]:
+    """MF training batches: (user, positive item) pairs from a deterministic
+    per-epoch shuffle of train interactions (SURVEY.md §3.1 get_batch).
+    Negatives are sampled on-device by the loss, not here — the reference's
+    host-side negative-sampling hot loop (SURVEY.md §3.1) is deliberately
+    moved on-device."""
+    perm = _epoch_perm(len(ds.train_users), seed, epoch)[host_id::num_hosts]
+    n = (len(perm) // batch_size) * batch_size if drop_remainder else len(perm)
+    for s in range(0, n, batch_size):
+        idx = perm[s : s + batch_size]
+        if len(idx) < batch_size:
+            idx = np.concatenate([idx, perm[: batch_size - len(idx)]])
+        yield {
+            "user": ds.train_users[idx],
+            "pos_item": ds.train_items[idx],
+        }
+
+
+def seq_batches(
+    ds: PreparedDataset,
+    batch_size: int,
+    max_seq_len: int,
+    seed: int,
+    epoch: int,
+    host_id: int = 0,
+    num_hosts: int = 1,
+) -> Iterator[dict[str, np.ndarray]]:
+    """Sequence batches for the LSTM family (rebuild of lstm/DataIterator,
+    SURVEY.md §2.1): for each user with ≥2 train interactions, inputs are
+    items[:-1] and targets are items[1:] (next-item prediction), truncated to
+    the most recent `max_seq_len` steps and left-padded.
+
+    Emits fixed shapes: inputs/targets int32 [B, L] with pad id = num_items
+    (never a real item), mask float32 [B, L].
+    """
+    users = np.flatnonzero(ds.hist_lengths >= 2)
+    perm = users[_epoch_perm(len(users), seed, epoch)][host_id::num_hosts]
+    pad = ds.num_items
+    n = (len(perm) // batch_size) * batch_size
+    for s in range(0, max(n, batch_size if len(perm) else 0), batch_size):
+        idx = perm[s : s + batch_size]
+        if len(idx) == 0:
+            return
+        if len(idx) < batch_size:
+            idx = np.concatenate([idx, perm[: batch_size - len(idx)]])
+        inputs = np.full((batch_size, max_seq_len), pad, np.int32)
+        targets = np.full((batch_size, max_seq_len), pad, np.int32)
+        mask = np.zeros((batch_size, max_seq_len), np.float32)
+        for row, u in enumerate(idx):
+            h = ds.hist_items[u, : ds.hist_lengths[u]]
+            h = h[-(max_seq_len + 1):]
+            t = len(h) - 1
+            inputs[row, max_seq_len - t:] = h[:-1]
+            targets[row, max_seq_len - t:] = h[1:]
+            mask[row, max_seq_len - t:] = 1.0
+        yield {"user": idx.astype(np.int32), "inputs": inputs,
+               "targets": targets, "mask": mask}
+
+
+def eval_batches(
+    ds: PreparedDataset, batch_size: int, max_seq_len: int = 0
+) -> Iterator[dict[str, np.ndarray]]:
+    """Validation batches: one row per held-out (user, positive). Fixed batch
+    shapes; the trailing partial batch is padded with repeats and flagged via
+    `valid` so metrics can ignore padding rows.
+
+    When max_seq_len > 0 also emits the user's train history packed to L
+    (for the LSTM recommend path, SURVEY.md §3.3)."""
+    nv = len(ds.valid_users)
+    pad_item = ds.num_items
+    for s in range(0, nv, batch_size):
+        idx = np.arange(s, min(s + batch_size, nv))
+        valid = np.ones(batch_size, np.float32)
+        if len(idx) < batch_size:
+            valid[len(idx):] = 0.0
+            idx = np.concatenate([idx, np.zeros(batch_size - len(idx), np.int64)])
+        batch = {
+            "user": ds.valid_users[idx],
+            "pos_item": ds.valid_items[idx],
+            "valid": valid,
+        }
+        if max_seq_len:
+            inputs = np.full((batch_size, max_seq_len), pad_item, np.int32)
+            mask = np.zeros((batch_size, max_seq_len), np.float32)
+            for row, u in enumerate(batch["user"]):
+                h = ds.hist_items[u, : ds.hist_lengths[u]][-max_seq_len:]
+                inputs[row, max_seq_len - len(h):] = h
+                mask[row, max_seq_len - len(h):] = 1.0
+            batch["inputs"] = inputs
+            batch["mask"] = mask
+        yield batch

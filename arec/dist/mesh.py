@@ -1,0 +1,48 @@
+"""Device mesh construction + multi-host bring-up.
+
+The TPU-native replacement for a distributed-communication backend
+(SURVEY.md §2.4): the reference has none (single-process TF1); here all
+cross-chip communication is XLA collectives over ICI/DCN, reached through
+jit/shard_map on a named mesh.
+
+Mesh axes ("data", "model"):
+  * "data"  — batch sharding for the dense path (fusion MLP, LSTM scan,
+              losses): pure data parallelism.
+  * "model" — row sharding for the embedding tables + item-shard axis for
+              full-softmax eval / top-k retrieval (the EP-analog component,
+              SURVEY.md §2.3).
+A (1, 1) mesh degrades to the single-device path; tests run (2, 4)/(4, 2)
+shapes on 8 fake CPU devices (tests/conftest.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def multihost_init() -> None:
+    """jax.distributed.initialize when launched under a multi-host runtime
+    (SURVEY.md §2.4). No-op single-host; coordinator address comes from the
+    standard env vars."""
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
+        jax.distributed.initialize()
+
+
+def host_info() -> tuple[int, int]:
+    """(host_id, num_hosts) for the per-host input pipeline
+    (SURVEY.md §7 "Multi-host input pipeline")."""
+    return jax.process_index(), jax.process_count()
+
+
+def make_mesh(data: int, model: int, devices=None) -> Mesh:
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    need = data * model
+    if devices.size < need:
+        raise ValueError(
+            f"mesh ({data}×{model}) needs {need} devices, have {devices.size}")
+    grid = devices[:need].reshape(data, model)
+    return Mesh(grid, axis_names=("data", "model"))

@@ -1,0 +1,196 @@
+"""Loss family: sampled/full softmax CE, WARP, BPR + batch variants.
+
+Rebuild of the reference's loss set (SURVEY.md §2.1 "MF losses": {ce, warp,
+bpr} plus batch variants {mw, bbpr} from the AAAI'18 batch-ranking paper;
+LSTM: sampled_softmax in training, full softmax at eval — SURVEY.md §3.2).
+
+All losses are pure functions of (query latents, candidate latents/bias)
+and run entirely on-device inside the jitted step. The big matmuls
+(logits = Q·Vᵀ) are MXU-shaped: [N, D] × [D, S] in the caller-chosen compute
+dtype (bfloat16 by default) with float32 accumulation.
+
+Candidate-side encoding is abstracted as `embed(ids) -> [n, D]` /
+`bias(ids) -> [n]` callables so the same losses serve both families:
+  * MF: embed = fused attribute encoder over candidate ids (hybrid scoring).
+  * LSTM: embed = the dedicated item output table (TF1
+    sampled_softmax_loss weights analog).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from arec.losses.sampling import draw
+
+Embed = Callable[[jnp.ndarray], jnp.ndarray]
+Bias = Callable[[jnp.ndarray], jnp.ndarray]
+
+_NEG_INF = -1e9
+
+
+def _matmul(q: jnp.ndarray, v: jnp.ndarray, dtype) -> jnp.ndarray:
+    """[N, D] × [S, D]ᵀ → [N, S], MXU-friendly, fp32 accumulation."""
+    return jax.lax.dot_general(
+        q.astype(dtype), v.astype(dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _rowdot(q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sum(q.astype(jnp.float32) * v.astype(jnp.float32), axis=-1)
+
+
+# --------------------------------------------------------------------------
+# Softmax-family
+# --------------------------------------------------------------------------
+
+def sampled_softmax_loss(
+    query: jnp.ndarray,            # [N, D] user/state latents
+    true_ids: jnp.ndarray,         # [N] int32
+    embed: Embed,
+    bias: Bias,
+    rng: jax.Array,
+    num_sampled: int,
+    vocab: int,
+    dist: str = "log_uniform",
+    remove_accidental_hits: bool = True,
+    weights: jnp.ndarray | None = None,   # [N] position mask (LSTM "mce")
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """TF1 `tf.nn.sampled_softmax_loss` semantics, rebuilt:
+    S shared negatives per step, −log(S·P) logit correction, accidental-hit
+    masking, CE with the true class prepended as class 0."""
+    sampled_ids, p = draw(rng, num_sampled, vocab, dist)
+
+    v_true = embed(true_ids)                       # [N, D]
+    v_samp = embed(sampled_ids)                    # [S, D]
+    true_logit = _rowdot(query, v_true) + bias(true_ids)
+    true_logit = true_logit - jnp.log(num_sampled * _p_of(true_ids, p, sampled_ids, vocab, dist))
+
+    samp_logits = _matmul(query, v_samp, compute_dtype) + bias(sampled_ids)[None, :]
+    samp_logits = samp_logits - jnp.log(num_sampled * p)[None, :]
+
+    if remove_accidental_hits:
+        hit = sampled_ids[None, :] == true_ids[:, None]
+        samp_logits = jnp.where(hit, _NEG_INF, samp_logits)
+
+    logits = jnp.concatenate([true_logit[:, None], samp_logits], axis=1)
+    ce = jax.nn.logsumexp(logits, axis=1) - logits[:, 0]
+    if weights is None:
+        return ce.mean()
+    return jnp.sum(ce * weights) / jnp.maximum(jnp.sum(weights), 1.0)
+
+
+def _p_of(ids, p_sampled, sampled_ids, vocab, dist):
+    """Proposal probability of arbitrary ids under the chosen sampler."""
+    del p_sampled, sampled_ids
+    from arec.losses.sampling import log_uniform_prob
+    if dist == "log_uniform":
+        return log_uniform_prob(ids, vocab)
+    return jnp.full(ids.shape, 1.0 / vocab, jnp.float32)
+
+
+def full_softmax_loss(
+    query: jnp.ndarray,            # [N, D]
+    true_ids: jnp.ndarray,         # [N]
+    all_items: jnp.ndarray,        # [V, D] (precomputed latents)
+    all_bias: jnp.ndarray,         # [V]
+    weights: jnp.ndarray | None = None,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Exact CE over the full vocabulary (eval / parity oracle for the
+    sampled loss — SURVEY.md §4 "Parity tests")."""
+    logits = _matmul(query, all_items, compute_dtype) + all_bias[None, :]
+    ce = jax.nn.logsumexp(logits, axis=1) - jnp.take_along_axis(
+        logits, true_ids[:, None], axis=1)[:, 0]
+    if weights is None:
+        return ce.mean()
+    return jnp.sum(ce * weights) / jnp.maximum(jnp.sum(weights), 1.0)
+
+
+# --------------------------------------------------------------------------
+# Pairwise-ranking family (sampled negatives)
+# --------------------------------------------------------------------------
+
+def warp_loss(
+    query, true_ids, embed, bias, rng, num_sampled, vocab,
+    dist: str = "uniform", margin: float = 1.0, compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """WARP with parallel sampled rank estimation: with S uniform negative
+    draws and m margin violations, the estimated rank of the positive is
+    ≈ (V−1)·m/S; loss = Φ(rank)·mean hinge, Φ(r) = log(1+r) (Weston et al.
+    2011, batch approximation as in the reference's warp branch)."""
+    sampled_ids, _ = draw(rng, num_sampled, vocab, dist)
+    v_true = embed(true_ids)
+    v_samp = embed(sampled_ids)
+    pos = _rowdot(query, v_true) + bias(true_ids)                  # [N]
+    neg = _matmul(query, v_samp, compute_dtype) + bias(sampled_ids)[None, :]
+    hit = sampled_ids[None, :] == true_ids[:, None]
+    hinge = jnp.maximum(0.0, margin + neg - pos[:, None])
+    hinge = jnp.where(hit, 0.0, hinge)
+    violations = (hinge > 0).astype(jnp.float32)
+    m = violations.sum(axis=1)                                     # [N]
+    rank = (vocab - 1) * m / num_sampled
+    phi = jnp.log1p(rank)
+    mean_hinge = hinge.sum(axis=1) / jnp.maximum(m, 1.0)
+    return (phi * mean_hinge).mean()
+
+
+def bpr_loss(
+    query, true_ids, embed, bias, rng, num_sampled, vocab,
+    dist: str = "uniform", compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """BPR (Rendle 2009): −log σ(pos − neg) over sampled negatives."""
+    sampled_ids, _ = draw(rng, num_sampled, vocab, dist)
+    v_true = embed(true_ids)
+    v_samp = embed(sampled_ids)
+    pos = _rowdot(query, v_true) + bias(true_ids)
+    neg = _matmul(query, v_samp, compute_dtype) + bias(sampled_ids)[None, :]
+    hit = sampled_ids[None, :] == true_ids[:, None]
+    ll = jax.nn.log_sigmoid(pos[:, None] - neg)
+    ll = jnp.where(hit, 0.0, ll)
+    denom = jnp.maximum((~hit).sum(axis=1).astype(jnp.float32), 1.0)
+    return -(ll.sum(axis=1) / denom).mean()
+
+
+# --------------------------------------------------------------------------
+# Batch-ranking family (AAAI'18 "A Batch Learning Framework for Scalable
+# Personalized Ranking": reuse in-batch positives as shared negatives)
+# --------------------------------------------------------------------------
+
+def batch_mw_loss(
+    query, true_ids, embed, bias,
+    vocab: int, margin: float = 1.0, compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """`mw`: margin + rank-weighted hinge over the in-batch score matrix;
+    positives sit on the diagonal, every other column is a negative."""
+    v = embed(true_ids)                                            # [B, D]
+    scores = _matmul(query, v, compute_dtype) + bias(true_ids)[None, :]
+    pos = jnp.diagonal(scores)
+    same = true_ids[None, :] == true_ids[:, None]                  # dup-pos mask
+    hinge = jnp.maximum(0.0, margin + scores - pos[:, None])
+    hinge = jnp.where(same, 0.0, hinge)
+    b = query.shape[0]
+    m = (hinge > 0).sum(axis=1).astype(jnp.float32)
+    rank = (vocab - 1) * m / jnp.maximum(b - 1, 1)
+    phi = jnp.log1p(rank)
+    mean_hinge = hinge.sum(axis=1) / jnp.maximum(m, 1.0)
+    return (phi * mean_hinge).mean()
+
+
+def batch_bpr_loss(
+    query, true_ids, embed, bias, compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """`bbpr`: BPR over the in-batch score matrix."""
+    v = embed(true_ids)
+    scores = _matmul(query, v, compute_dtype) + bias(true_ids)[None, :]
+    pos = jnp.diagonal(scores)
+    same = true_ids[None, :] == true_ids[:, None]
+    ll = jax.nn.log_sigmoid(pos[:, None] - scores)
+    ll = jnp.where(same, 0.0, ll)
+    denom = jnp.maximum((~same).sum(axis=1).astype(jnp.float32), 1.0)
+    return -(ll.sum(axis=1) / denom).mean()

@@ -1,0 +1,116 @@
+"""Hybrid matrix-factorization model family.
+
+Rebuild of the reference's `LatentProductModel` (SURVEY.md §2.1 "Hybrid MF
+model", §3.1): user latent = fusion of user-attribute embeddings (user ID is
+attribute 0), item latent = fusion of item-attribute embeddings, score =
+dot(u, v) + item_bias. "Hybrid" = IDs and attributes jointly embedded.
+
+Model state is one flat pytree:
+    {"user": encoder params, "item": encoder params, "item_bias": [V+1]}
+so sharding annotations, optimizers, and checkpointing all operate on plain
+arrays. The candidate-side `embed` used by every loss is the fused item
+encoder itself — scoring a candidate always goes through attribute fusion,
+which is what makes attribute-aware configs (BASELINE.json:8) learn.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from arec.config import Config
+from arec.data.schema import EntitySchema
+from arec.losses.losses import (
+    batch_bpr_loss, batch_mw_loss, bpr_loss, sampled_softmax_loss, warp_loss,
+)
+from arec.tables.engine import (
+    EncoderSpec, dense_lookup, encode, encode_all_items, init_encoder,
+)
+
+
+@dataclass(frozen=True)
+class MFSpec:
+    user: EncoderSpec
+    item: EncoderSpec
+    loss: str = "ce"
+    num_sampled: int = 256
+    sampler: str = "log_uniform"
+    keep_prob: float = 1.0
+    compute_dtype: str = "bfloat16"
+
+    @staticmethod
+    def from_config(cfg: Config, user_schema: EntitySchema,
+                    item_schema: EntitySchema) -> "MFSpec":
+        if not cfg.model.use_attributes:
+            user_schema = user_schema.id_only()
+            item_schema = item_schema.id_only()
+        mk = lambda s: EncoderSpec(s, cfg.model.dim, cfg.model.fusion,
+                                   cfg.model.nonlinear)
+        return MFSpec(
+            user=mk(user_schema), item=mk(item_schema),
+            loss=cfg.train.loss, num_sampled=cfg.train.num_sampled,
+            keep_prob=cfg.model.keep_prob,
+            compute_dtype=cfg.train.compute_dtype,
+        )
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.compute_dtype)
+
+
+def init_mf(key: jax.Array, spec: MFSpec) -> dict:
+    ku, ki = jax.random.split(key)
+    return {
+        "user": init_encoder(ku, spec.user),
+        "item": init_encoder(ki, spec.item),
+        "item_bias": jnp.zeros((spec.item.schema.num_entities + 1,)),
+    }
+
+
+def mf_loss(
+    params: dict,
+    spec: MFSpec,
+    user_dev: dict,
+    item_dev: dict,
+    batch: dict,
+    rng: jax.Array,
+    lookup_fn=dense_lookup,
+) -> jnp.ndarray:
+    """One training step's loss for a (user, positive-item) batch
+    (SURVEY.md §3.1: u = fuse(user attrs); loss over sampled candidates)."""
+    r_drop, r_neg = jax.random.split(rng)
+    u = encode(params["user"], spec.user, user_dev, batch["user"],
+               lookup_fn, dropout_rng=r_drop, keep_prob=spec.keep_prob)
+    embed = lambda ids: encode(params["item"], spec.item, item_dev, ids, lookup_fn)
+    bias = lambda ids: params["item_bias"][ids]
+    pos = batch["pos_item"]
+    vocab = spec.item.schema.num_entities
+
+    if spec.loss == "ce":
+        return sampled_softmax_loss(
+            u, pos, embed, bias, r_neg, spec.num_sampled, vocab,
+            dist=spec.sampler, compute_dtype=spec.dtype)
+    if spec.loss == "warp":
+        return warp_loss(u, pos, embed, bias, r_neg, spec.num_sampled, vocab,
+                         compute_dtype=spec.dtype)
+    if spec.loss == "bpr":
+        return bpr_loss(u, pos, embed, bias, r_neg, spec.num_sampled, vocab,
+                        compute_dtype=spec.dtype)
+    if spec.loss == "mw":
+        return batch_mw_loss(u, pos, embed, bias, vocab, compute_dtype=spec.dtype)
+    if spec.loss == "bbpr":
+        return batch_bpr_loss(u, pos, embed, bias, compute_dtype=spec.dtype)
+    raise ValueError(f"unknown mf loss {spec.loss!r}")
+
+
+def mf_user_latents(params, spec: MFSpec, user_dev, user_ids, lookup_fn=dense_lookup):
+    return encode(params["user"], spec.user, user_dev, user_ids, lookup_fn)
+
+
+def mf_item_latents(params, spec: MFSpec, item_dev, block: int = 8192):
+    """All-item latent matrix + bias for full-softmax eval / retrieval."""
+    v = encode_all_items(params["item"], spec.item, item_dev, block=block)
+    b = params["item_bias"][: spec.item.schema.num_entities]
+    return v, b

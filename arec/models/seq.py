@@ -1,0 +1,255 @@
+"""LSTM/GRU sequence-recommendation model family.
+
+Rebuild of the reference's `SeqModel` (SURVEY.md §2.1 "LSTM sequence model",
+§3.2): language-model-style next-item prediction over a user's time-ordered
+item sequence. Input at step t is the fused attribute embedding of item t
+(optionally + the user embedding); stacked LSTM/GRU cells; output projection
+against a dedicated item output-embedding table; sampled softmax in training,
+full softmax at eval.
+
+TPU-first departures:
+  * No bucketed per-length graphs (the reference builds one unrolled TF graph
+    per bucket, SURVEY.md §3.2). One fixed max_seq_len L, left-padded inputs,
+    and a scan — a single jitted graph serves every batch.
+  * Left-padding + masked state updates: h,c only advance where mask==1, so
+    pad steps are exact no-ops and the state at position L−1 is the state
+    after the user's full (truncated) history — which is what the recommend
+    path consumes (SURVEY.md §3.3).
+  * The recurrence runs either as a `lax.scan` of a fused-gate cell (the
+    permanent differential-testing reference, SURVEY.md §7 "Pallas LSTM
+    scan") or as the Pallas kernel in arec/kernels/lstm_scan.py.
+
+Hidden size equals the embedding dim (the reference's single --size flag
+controls both).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from arec.config import Config
+from arec.data.schema import EntitySchema
+from arec.losses.losses import sampled_softmax_loss
+from arec.tables.engine import EncoderSpec, dense_lookup, encode, init_encoder
+
+
+@dataclass(frozen=True)
+class SeqSpec:
+    item_in: EncoderSpec            # input-side fused item encoder
+    user: EncoderSpec | None        # optional user encoder (concat_user)
+    cell: str = "lstm"              # {lstm, gru}
+    num_layers: int = 1
+    max_seq_len: int = 30
+    num_sampled: int = 256
+    sampler: str = "log_uniform"
+    keep_prob: float = 1.0
+    use_pallas_scan: bool = False
+    compute_dtype: str = "bfloat16"
+
+    @property
+    def dim(self) -> int:
+        return self.item_in.dim
+
+    @property
+    def vocab(self) -> int:
+        return self.item_in.schema.num_entities
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.compute_dtype)
+
+    @staticmethod
+    def from_config(cfg: Config, user_schema: EntitySchema,
+                    item_schema: EntitySchema) -> "SeqSpec":
+        if not cfg.model.use_attributes:
+            item_schema = item_schema.id_only()
+            user_schema = user_schema.id_only()
+        mk = lambda s: EncoderSpec(s, cfg.model.dim, cfg.model.fusion,
+                                   cfg.model.nonlinear)
+        return SeqSpec(
+            item_in=mk(item_schema),
+            user=mk(user_schema) if cfg.model.concat_user else None,
+            cell=cfg.model.cell,
+            num_layers=cfg.model.num_layers,
+            max_seq_len=cfg.model.max_seq_len,
+            num_sampled=cfg.train.num_sampled,
+            keep_prob=cfg.model.keep_prob,
+            use_pallas_scan=cfg.model.use_pallas_scan,
+            compute_dtype=cfg.train.compute_dtype,
+        )
+
+
+def _gate_count(cell: str) -> int:
+    return {"lstm": 4, "gru": 3}[cell]
+
+
+def init_seq(key: jax.Array, spec: SeqSpec) -> dict:
+    keys = jax.random.split(key, spec.num_layers + 3)
+    d, g = spec.dim, _gate_count(spec.cell)
+    params: dict = {"item_in": init_encoder(keys[0], spec.item_in)}
+    if spec.user is not None:
+        params["user"] = init_encoder(keys[1], spec.user)
+    layers = []
+    for l in range(spec.num_layers):
+        k = keys[2 + l]
+        d_in = d  # input dim == hidden dim at every layer (single --size)
+        w = jax.random.normal(k, (d_in + d, g * d)) / jnp.sqrt(d_in + d)
+        b = jnp.zeros((g * d,))
+        if spec.cell == "lstm":
+            # forget-gate bias 1.0 — standard LSTM training stabilizer
+            b = b.at[d : 2 * d].set(1.0)
+        layers.append({"w": w, "b": b})
+    params["rnn"] = layers
+    # dedicated output table + bias (TF1 sampled_softmax weights analog);
+    # one PAD row so sequence-pad target ids stay in range
+    v = spec.vocab
+    params["item_out"] = (
+        jax.random.normal(keys[-1], (v + 1, d)) / jnp.sqrt(d))
+    params["out_bias"] = jnp.zeros((v + 1,))
+    return params
+
+
+# --------------------------------------------------------------------------
+# Recurrence. TPU layout: the input projection x·Wx for ALL timesteps is one
+# big [B·L, D] × [D, G·H] MXU matmul OUTSIDE the scan; the sequential part is
+# only the small recurrent matmul h·Wh per step. The same (xw, wh) layout is
+# shared by the lax.scan reference below and the Pallas fused-gate kernel
+# (arec/kernels/lstm_scan.py), so they are drop-in interchangeable.
+# --------------------------------------------------------------------------
+
+def input_projection(p: dict, x: jnp.ndarray, dtype) -> jnp.ndarray:
+    """x [B, L, D_in] → xw [B, L, G·H] = x · Wx + b (bias folded in)."""
+    d_in = x.shape[-1]
+    wx = p["w"][:d_in]
+    return jax.lax.dot_general(
+        x.astype(dtype), wx.astype(dtype),
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + p["b"]
+
+
+def lstm_step(wh, xw_t, h, c, dtype):
+    """One LSTM step from precomputed input projection xw_t [B, 4H]."""
+    gates = xw_t + jax.lax.dot_general(
+        h.astype(dtype), wh.astype(dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+    return h_new, c_new
+
+
+def gru_step(wh, xw_t, h, c, dtype):
+    """One GRU step; xw_t [B, 3H] = x·[Wx_r|Wx_u|Wx_n] + b."""
+    d = h.shape[-1]
+    hw = jax.lax.dot_general(
+        h.astype(dtype), wh[:, : 2 * d].astype(dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    r = jax.nn.sigmoid(xw_t[:, :d] + hw[:, :d])
+    u = jax.nn.sigmoid(xw_t[:, d : 2 * d] + hw[:, d:])
+    n = jnp.tanh(xw_t[:, 2 * d :] + jax.lax.dot_general(
+        (r * h).astype(dtype), wh[:, 2 * d :].astype(dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32))
+    h_new = (1.0 - u) * n + u * h
+    return h_new, c
+
+
+def layer_scan(p: dict, cell: str, x: jnp.ndarray, mask: jnp.ndarray,
+               dtype) -> jnp.ndarray:
+    """One recurrent layer via lax.scan: x [B, L, D] → h_all [B, L, H].
+    Masked state updates make pad steps exact no-ops. This is the permanent
+    correctness reference for the Pallas kernel (SURVEY.md §7)."""
+    b, L, _ = x.shape
+    d = p["w"].shape[0] - x.shape[-1]
+    wh = p["w"][x.shape[-1]:]
+    xw = input_projection(p, x, dtype)                    # [B, L, G·H]
+    step_fn = lstm_step if cell == "lstm" else gru_step
+
+    def step(carry, inp):
+        h, c = carry
+        xw_t, m_t = inp
+        m = m_t[:, None]
+        h_new, c_new = step_fn(wh, xw_t, h, c, dtype)
+        h = m * h_new + (1.0 - m) * h
+        c = m * c_new + (1.0 - m) * c
+        return (h, c), h
+
+    zeros = jnp.zeros((b, d), jnp.float32)
+    (_, _), out = jax.lax.scan(
+        step, (zeros, zeros),
+        (xw.transpose(1, 0, 2), mask.transpose(1, 0)))
+    return out.transpose(1, 0, 2)
+
+
+def rnn_scan(layers: list[dict], cell: str, x: jnp.ndarray,
+             mask: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Stacked layers; returns top-layer hidden states [B, L, H]."""
+    h = x
+    for p in layers:
+        h = layer_scan(p, cell, h, mask, dtype)
+    return h
+
+
+# --------------------------------------------------------------------------
+# Forward / loss / recommend
+# --------------------------------------------------------------------------
+
+def seq_inputs(params, spec: SeqSpec, item_dev, user_dev, batch,
+               lookup_fn=dense_lookup, dropout_rng=None) -> jnp.ndarray:
+    """Fused per-step input embeddings [B, L, D] (SURVEY.md §3.2:
+    input_t = fuse(item-attr lookups at position t))."""
+    x = encode(params["item_in"], spec.item_in, item_dev, batch["inputs"],
+               lookup_fn, dropout_rng=dropout_rng, keep_prob=spec.keep_prob)
+    if spec.user is not None:
+        u = encode(params["user"], spec.user, user_dev, batch["user"], lookup_fn)
+        x = x + u[:, None, :]
+    return x
+
+
+def seq_hidden(params, spec: SeqSpec, item_dev, user_dev, batch,
+               lookup_fn=dense_lookup, dropout_rng=None) -> jnp.ndarray:
+    x = seq_inputs(params, spec, item_dev, user_dev, batch, lookup_fn,
+                   dropout_rng)
+    mask = batch["mask"]
+    if spec.use_pallas_scan and spec.cell == "lstm":
+        from arec.kernels.lstm_scan import pallas_lstm_scan
+        return pallas_lstm_scan(params["rnn"], x, mask, dtype=spec.dtype)
+    return rnn_scan(params["rnn"], spec.cell, x, mask, spec.dtype)
+
+
+def seq_loss(params, spec: SeqSpec, item_dev, user_dev, batch,
+             rng: jax.Array, lookup_fn=dense_lookup) -> jnp.ndarray:
+    """Sampled-softmax CE over all valid positions (ref losses ce/mce both
+    train every position; SURVEY.md §3.2)."""
+    r_drop, r_neg = jax.random.split(rng)
+    h = seq_hidden(params, spec, item_dev, user_dev, batch, lookup_fn,
+                   dropout_rng=r_drop)
+    b, L, d = h.shape
+    flat_h = h.reshape(b * L, d)
+    flat_t = batch["targets"].reshape(b * L)
+    flat_w = batch["mask"].reshape(b * L)
+    embed = lambda ids: lookup_fn(params["item_out"], ids)
+    bias = lambda ids: params["out_bias"][ids]
+    return sampled_softmax_loss(
+        flat_h, flat_t, embed, bias, r_neg, spec.num_sampled, spec.vocab,
+        dist=spec.sampler, weights=flat_w, compute_dtype=spec.dtype)
+
+
+def seq_final_state(params, spec: SeqSpec, item_dev, user_dev, batch,
+                    lookup_fn=dense_lookup) -> jnp.ndarray:
+    """Recommend path (SURVEY.md §3.3): run the RNN over the user's full
+    (truncated) history; with left-padding the state at the last position is
+    the final state."""
+    h = seq_hidden(params, spec, item_dev, user_dev, batch, lookup_fn)
+    return h[:, -1, :]
+
+
+def seq_item_latents(params, spec: SeqSpec):
+    """Output-side item matrix + bias for full-softmax eval / retrieval."""
+    v = spec.vocab
+    return params["item_out"][:v], params["out_bias"][:v]

@@ -1,0 +1,110 @@
+"""Serving-time candidate retrieval: top-k MIPS over the (sharded) item table.
+
+Rebuild of the reference's recommend path (SURVEY.md §3.3: full scoring, mask
+seen, top-30), redesigned per BASELINE.json:5/11: "serving-time candidate
+retrieval is a chip-local top-k MIPS over the sharded item table" with
+"full-softmax eval + top-k retrieval" on the mesh.
+
+Sharded protocol (SURVEY.md §2.3 "Full-softmax eval sharding"):
+  * item latents are row-sharded over "model"; queries are batch-sharded
+    over "data" and replicated over "model".
+  * each chip scores its item shard ([Bl, D] × [D, Vs] on the MXU), applies
+    the seen-item penalty for ids in its range, takes a LOCAL top-k;
+  * the k-per-shard candidates (score, global id) are all_gather'd over
+    "model" (k·T ≪ V values over ICI) and merged with a final top-k.
+
+Exactness: top-k of a union of per-shard top-ks is the global top-k —
+no approximation anywhere.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from arec.dist.specs import DATA_AXIS, TABLE_AXIS
+
+
+def topk_mips(query, item_latents, item_bias, seen, k: int = 30,
+              compute_dtype=jnp.bfloat16):
+    """Single-device reference path (== arec.train.evalu.topk_with_mask)."""
+    from arec.train.evalu import topk_with_mask
+    return topk_with_mask(query, item_latents, item_bias, seen, k=k,
+                          compute_dtype=compute_dtype)
+
+
+def _local_score_topk(q, v_shard, b_shard, seen, k, compute_dtype):
+    """Per-device body: score my item shard, mask my slice of seen ids,
+    local top-k in GLOBAL id space."""
+    vs = v_shard.shape[0]
+    shard_idx = jax.lax.axis_index(TABLE_AXIS)
+    offset = shard_idx * vs
+
+    scores = jax.lax.dot_general(
+        q.astype(compute_dtype), v_shard.astype(compute_dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b_shard[None, :]
+
+    # seen ids are global: penalize those owned by this shard
+    local = seen - offset
+    mine = (local >= 0) & (local < vs) & (seen >= 0)
+    rows = jnp.broadcast_to(
+        jnp.arange(q.shape[0])[:, None], seen.shape)
+    scores = scores.at[rows, jnp.clip(local, 0, vs - 1)].add(
+        jnp.where(mine, -1e9, 0.0))
+
+    vals, idx = jax.lax.top_k(scores, k)                     # [Bl, k]
+    return vals, idx + offset
+
+
+def make_sharded_topk(mesh: Mesh, k: int = 30, compute_dtype=jnp.bfloat16):
+    """Returns topk(query, item_latents, item_bias, seen) -> (scores, ids),
+    exact global top-k over the row-sharded item table.
+
+    The per-shard score+local-top-k runs in shard_map (out spec
+    P("data","model") lays the T shards' k-candidates side by side); the
+    k·T-wide merge is ordinary jnp under jit — XLA gathers the tiny
+    candidate slab over ICI and the final top_k is negligible."""
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(TABLE_AXIS, None), P(TABLE_AXIS),
+                  P(DATA_AXIS, None)),
+        out_specs=(P(DATA_AXIS, TABLE_AXIS), P(DATA_AXIS, TABLE_AXIS)),
+    )
+    def _local(q, v_shard, b_shard, seen):
+        return _local_score_topk(q, v_shard, b_shard, seen, k, compute_dtype)
+
+    def topk(query, item_latents, item_bias, seen):
+        all_vals, all_ids = _local(query, item_latents, item_bias, seen)
+        m_vals, m_pos = jax.lax.top_k(all_vals, k)       # [B, T·k] → [B, k]
+        m_ids = jnp.take_along_axis(all_ids, m_pos, axis=1)
+        return m_vals, m_ids
+
+    return topk
+
+
+def sharded_topk(mesh, query, item_latents, item_bias, seen, k: int = 30,
+                 compute_dtype=jnp.bfloat16):
+    """One-shot convenience wrapper. item_latents rows must be padded to a
+    model-axis multiple (pad rows score ~0; push them below any real score
+    by padding item_bias rows with -1e9 — see pad_item_shards)."""
+    fn = make_sharded_topk(mesh, k=k, compute_dtype=compute_dtype)
+    return fn(query, item_latents, item_bias, seen)
+
+
+def pad_item_shards(item_latents, item_bias, model_size: int):
+    """Pad V up to a model-axis multiple; pad bias with -1e9 so pad rows
+    never enter a top-k."""
+    v = item_latents.shape[0]
+    vp = -(-v // model_size) * model_size
+    if vp != v:
+        item_latents = jnp.pad(item_latents, ((0, vp - v), (0, 0)))
+        item_bias = jnp.pad(item_bias, (0, vp - v),
+                            constant_values=-1e9)
+    return item_latents, item_bias

@@ -1,0 +1,303 @@
+"""Trainer: the rebuild of the reference's run-script drivers.
+
+One class covers what `hmf/run_mf.py` and `lstm/run.py` each did
+(SURVEY.md §2.1 "HMF driver/CLI" / "LSTM driver/CLI", §3.1–3.3):
+dataset load → model build → epoch loop with periodic checkpoint + valid
+Recall@30 + LR decay-on-plateau → recommend mode emitting top-K lists.
+
+TPU-native structure:
+  * one jitted train step (arec.train.step) — negative sampling, lookups,
+    fwd/bwd, optimizer, all on device; host ships int batches only;
+  * optional ("data","model") mesh: tables row-padded + sharded, batch
+    data-sharded, lookups through the all-to-all exchange
+    (MeshConfig.lookup="alltoall") or GSPMD-chosen collectives ("gspmd");
+  * optimizer state sharded like its parameters (optax.tree_map_params);
+  * eval = full-softmax top-k over the (sharded) item latents
+    (arec.retrieval.mips), seen-items masked;
+  * examples/s measured with block_until_ready (the graded throughput
+    counter, BASELINE.json:2).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from arec.config import Config
+from arec.data.dataset import eval_batches, mf_batches, seq_batches
+from arec.data.io import load_or_prepare
+from arec.dist.mesh import host_info, make_mesh, multihost_init
+from arec.dist.specs import (
+    DATA_AXIS, TABLE_AXIS, batch_pspec, param_pspecs, shardings,
+)
+from arec.models import mf as mf_mod
+from arec.models import seq as seq_mod
+from arec.retrieval.mips import make_sharded_topk, pad_item_shards
+from arec.tables.engine import attrs_to_device, dense_lookup
+from arec.tables.sharded import make_sharded_lookup, pad_table_rows
+from arec.train.checkpoint import Checkpointer, abstract_like
+from arec.train.evalu import recall_hits
+from arec.train.metrics import MetricLogger
+from arec.train.step import (
+    TrainState, decay_lr, init_state, make_optimizer, make_train_step,
+)
+
+
+def _pad_params_tables(params, model_size: int):
+    """Row-pad every sharded table to a model-axis multiple
+    (arec.tables.sharded.round_up_rows)."""
+    specs = param_pspecs(params)
+    return jax.tree_util.tree_map(
+        lambda p, s: pad_table_rows(p, model_size) if s == P(TABLE_AXIS, None)
+        else p,
+        params, specs, is_leaf=lambda x: isinstance(x, P))
+
+
+class Trainer:
+    def __init__(self, cfg: Config):
+        multihost_init()
+        self.cfg = cfg
+        self.host_id, self.num_hosts = host_info()
+        self.ds = load_or_prepare(cfg.data)
+        self.is_seq = cfg.model.model == "lstm"
+
+        # ---- mesh + lookup --------------------------------------------
+        mcfg = cfg.mesh
+        self.use_mesh = mcfg.data * mcfg.model > 1
+        self.mesh = make_mesh(mcfg.data, mcfg.model) if self.use_mesh else None
+        if self.use_mesh and mcfg.lookup == "alltoall":
+            self.lookup = make_sharded_lookup(self.mesh, mcfg.capacity_factor)
+        else:
+            self.lookup = dense_lookup
+
+        # ---- model ----------------------------------------------------
+        key = jax.random.key(cfg.train.seed)
+        if self.is_seq:
+            self.spec = seq_mod.SeqSpec.from_config(
+                cfg, self.ds.user_schema, self.ds.item_schema)
+            params = seq_mod.init_seq(key, self.spec)
+            self.item_dev = attrs_to_device(
+                self.ds.item_attrs.restrict(self.spec.item_in.schema))
+            self.user_dev = (attrs_to_device(
+                self.ds.user_attrs.restrict(self.spec.user.schema))
+                if self.spec.user is not None else None)
+        else:
+            self.spec = mf_mod.MFSpec.from_config(
+                cfg, self.ds.user_schema, self.ds.item_schema)
+            params = mf_mod.init_mf(key, self.spec)
+            self.item_dev = attrs_to_device(
+                self.ds.item_attrs.restrict(self.spec.item.schema))
+            self.user_dev = attrs_to_device(
+                self.ds.user_attrs.restrict(self.spec.user.schema))
+
+        if self.use_mesh:
+            params = _pad_params_tables(params, mcfg.model)
+            self.param_sh = shardings(self.mesh, param_pspecs(params))
+            params = jax.device_put(params, self.param_sh)
+
+        # ---- optimizer + step ----------------------------------------
+        self.opt = make_optimizer(cfg.train.optimizer, cfg.train.learning_rate)
+        self.state = init_state(params, self.opt)
+        if self.use_mesh:
+            self.state_sh = self._state_shardings(params)
+            self.state = jax.device_put(self.state, self.state_sh)
+
+        loss_fn = self._loss_fn()
+        if self.use_mesh:
+            self.step_fn = self._make_sharded_step(loss_fn)
+        else:
+            self.step_fn = make_train_step(loss_fn, self.opt,
+                                           cfg.train.learning_rate)
+
+        self.ckpt = Checkpointer(cfg.train.train_dir)
+        self.metrics = MetricLogger(cfg.train.train_dir)
+        self.start_epoch = 0
+        self._maybe_restore()
+
+    # ------------------------------------------------------------------
+    def _loss_fn(self):
+        spec, item_dev, user_dev, lookup = (
+            self.spec, self.item_dev, self.user_dev, self.lookup)
+        if self.is_seq:
+            def loss_fn(p, batch, rng):
+                return seq_mod.seq_loss(p, spec, item_dev, user_dev, batch,
+                                        rng, lookup)
+        else:
+            def loss_fn(p, batch, rng):
+                return mf_mod.mf_loss(p, spec, user_dev, item_dev, batch,
+                                      rng, lookup)
+        return loss_fn
+
+    def _state_shardings(self, params):
+        pspecs = param_pspecs(params)
+        opt_shape = jax.eval_shape(self.opt.init, params)
+        opt_specs = optax.tree_map_params(
+            self.opt, lambda _, s: s, opt_shape, pspecs,
+            transform_non_params=lambda _: P())
+        st_specs = TrainState(params=pspecs, opt_state=opt_specs,
+                              lr_scale=P(), step=P())
+        return jax.tree_util.tree_map(
+            lambda s: NamedSharding(self.mesh, s), st_specs,
+            is_leaf=lambda x: isinstance(x, P))
+
+    def _make_sharded_step(self, loss_fn):
+        base_lr = self.cfg.train.learning_rate
+        opt = self.opt
+
+        def step(state: TrainState, batch, rng):
+            loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
+            opt_state = state.opt_state
+            opt_state.hyperparams["learning_rate"] = base_lr * state.lr_scale
+            updates, opt_state = opt.update(grads, opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(params, opt_state, state.lr_scale,
+                                   state.step + 1)
+            return new_state, {"loss": loss,
+                               "lr": base_lr * state.lr_scale}
+
+        return jax.jit(
+            step,
+            in_shardings=(self.state_sh, None, None),
+            out_shardings=(self.state_sh, None),
+            donate_argnums=(0,),
+        )
+
+    # ------------------------------------------------------------------
+    def _batches(self, epoch: int):
+        t = self.cfg.train
+        if self.is_seq:
+            return seq_batches(self.ds, t.batch_size,
+                               self.spec.max_seq_len, t.seed, epoch,
+                               self.host_id, self.num_hosts)
+        return mf_batches(self.ds, t.batch_size, t.seed, epoch,
+                          self.host_id, self.num_hosts)
+
+    def _item_latents(self):
+        if self.is_seq:
+            return seq_mod.seq_item_latents(self.state.params, self.spec)
+        return mf_mod.mf_item_latents(self.state.params, self.spec,
+                                      self.item_dev)
+
+    def _queries(self, batch):
+        if self.is_seq:
+            return seq_mod.seq_final_state(
+                self.state.params, self.spec, self.item_dev, self.user_dev,
+                batch)
+        return mf_mod.mf_user_latents(
+            self.state.params, self.spec, self.user_dev, batch["user"])
+
+    def evaluate(self, k: int | None = None) -> float:
+        """Valid Recall@K with seen-item masking (SURVEY.md §3.3)."""
+        k = k or self.cfg.train.eval_topk
+        v, b = self._item_latents()
+        v, b = jax.device_get(v), jax.device_get(b)  # freeze for the sweep
+        v, b = jnp.asarray(v), jnp.asarray(b)
+        hits = total = 0.0
+        L = self.spec.max_seq_len if self.is_seq else 0
+        for batch in eval_batches(self.ds, 256, max_seq_len=L):
+            jb = {kk: jnp.asarray(x) for kk, x in batch.items()}
+            q = self._queries(jb)
+            seen = jnp.asarray(self.ds.seen_items[batch["user"]])
+            h, t = recall_hits(q, v, b, seen, jb["pos_item"], jb["valid"], k=k)
+            hits += float(h)
+            total += float(t)
+        return hits / max(total, 1.0)
+
+    def recommend(self, k: int | None = None, out_path: str | None = None):
+        """Top-K lists for every eval user (ref --recommend mode; XING-style
+        submission writer when out_path is set — SURVEY.md §2.1
+        "Evaluation")."""
+        k = k or self.cfg.train.eval_topk
+        v, b = self._item_latents()
+        if self.use_mesh:
+            v, b = pad_item_shards(v, b, self.cfg.mesh.model)
+            topk = make_sharded_topk(self.mesh, k=k,
+                                     compute_dtype=self.spec.dtype)
+        else:
+            from arec.train.evalu import topk_with_mask
+            topk = partial(topk_with_mask, k=k)
+        rows = []
+        L = self.spec.max_seq_len if self.is_seq else 0
+        for batch in eval_batches(self.ds, 256, max_seq_len=L):
+            jb = {kk: jnp.asarray(x) for kk, x in batch.items()}
+            q = self._queries(jb)
+            seen = jnp.asarray(self.ds.seen_items[batch["user"]])
+            _, ids = topk(q, v, b, seen)
+            ids = np.asarray(ids)
+            for u, row, ok in zip(batch["user"], ids, batch["valid"]):
+                if ok:
+                    rows.append((int(u), row.tolist()))
+        if out_path:
+            with open(out_path, "w") as f:
+                for u, items in rows:
+                    f.write(f"{u}\t{','.join(map(str, items))}\n")
+        return rows
+
+    # ------------------------------------------------------------------
+    def _maybe_restore(self):
+        target = abstract_like(
+            self.state, self.state_sh if self.use_mesh else None)
+        try:
+            got = self.ckpt.restore(target)
+        except Exception:
+            got = None
+        if got is not None:
+            self.state, data_pos, _ = got
+            self.start_epoch = int(data_pos.get("epoch", 0))
+            print(f"[ckpt] restored step {int(self.state.step)} "
+                  f"(epoch {self.start_epoch})", flush=True)
+
+    def train(self) -> dict:
+        """Epoch loop with periodic checkpoint + eval + plateau LR decay
+        (SURVEY.md §3.1). Returns the final metrics summary."""
+        t = self.cfg.train
+        rng = jax.random.key(t.seed + 777)
+        best_recall, prev_loss = 0.0, float("inf")
+        window, steps_done = [], int(self.state.step)
+        ex_since, t_since = 0, time.time()
+        stop = False
+        for epoch in range(self.start_epoch, t.n_epoch):
+            for batch in self._batches(epoch):
+                rng, sub = jax.random.split(rng)
+                jb = {k: jnp.asarray(v) for k, v in batch.items()}
+                self.state, m = self.step_fn(self.state, jb, sub)
+                window.append(m["loss"])
+                ex_since += t.batch_size
+                steps_done += 1
+                if steps_done % t.steps_per_checkpoint == 0:
+                    jax.block_until_ready(self.state.params)
+                    dt = time.time() - t_since
+                    loss = float(jnp.mean(jnp.stack(window)))
+                    recall = self.evaluate()
+                    best_recall = max(best_recall, recall)
+                    self.metrics.log(
+                        steps_done, loss=loss,
+                        recall_at_k=recall, lr=float(m["lr"]),
+                        examples_per_s=ex_since / dt,
+                        examples_per_s_per_chip=ex_since / dt
+                        / max(jax.device_count(), 1))
+                    # plateau decay (ref: --learning_rate_decay_factor)
+                    if loss > prev_loss:
+                        self.state = decay_lr(self.state, t.lr_decay)
+                    prev_loss = loss
+                    window, ex_since, t_since = [], 0, time.time()
+                    self.ckpt.save(steps_done, self.state,
+                                   {"epoch": epoch},
+                                   self.cfg.to_json())
+                if t.max_steps and steps_done >= t.max_steps:
+                    stop = True
+                    break
+            if stop:
+                break
+        final_recall = self.evaluate()
+        best_recall = max(best_recall, final_recall)
+        self.metrics.log(steps_done, final_recall_at_k=final_recall,
+                         best_recall_at_k=best_recall)
+        return {"steps": steps_done, "recall_at_k": final_recall,
+                "best_recall_at_k": best_recall}

@@ -1,0 +1,33 @@
+"""Structured metrics / observability.
+
+The reference printed loss/recall to stdout (SURVEY.md §5 "Metrics"); here
+every scalar goes to (a) stdout in a compact line and (b) a JSONL stream in
+train_dir — the graded counters (examples/s/chip, Recall@30, scaling
+efficiency; BASELINE.json:2) all flow through this.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+class MetricLogger:
+    def __init__(self, train_dir: str, filename: str = "metrics.jsonl"):
+        os.makedirs(train_dir, exist_ok=True)
+        self._f = open(os.path.join(train_dir, filename), "a", buffering=1)
+        self._t0 = time.time()
+
+    def log(self, step: int, **scalars) -> None:
+        rec = {"step": int(step), "t": round(time.time() - self._t0, 3)}
+        rec.update({k: (float(v) if hasattr(v, "__float__") else v)
+                    for k, v in scalars.items()})
+        self._f.write(json.dumps(rec) + "\n")
+        parts = " ".join(
+            f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}"
+            for k, v in rec.items() if k not in ("t",))
+        print(f"[metrics] {parts}", flush=True)
+
+    def close(self):
+        self._f.close()

@@ -1,0 +1,81 @@
+"""Jitted train step + optimizer construction.
+
+Rebuild of the reference's per-step `session.run([train_op, loss])`
+(SURVEY.md §3.1). Where the reference crossed host→device every step with a
+feed_dict, here the ONLY host↔device boundary is shipping the integer batch;
+negative sampling, lookups, loss, backward, and the optimizer update are one
+XLA program. Params and optimizer state are donated, so tables are updated
+in place in HBM.
+
+Optimizers (ref: SGD/Adagrad — SURVEY.md §3.1): optax adagrad/sgd/adam.
+Embedding gradients materialize dense under jit (scatter-add of the gather
+transpose); XLA fuses the chain, and dense Adagrad on a zero-gradient row is
+a no-op, so the math matches TF1's sparse IndexedSlices updates.
+Learning-rate decay-on-plateau (ref: --learning_rate_decay_factor) is
+implemented via an lr *scale* carried in train state and folded into the
+update, so decaying lr does not retrace or rebuild the optimizer.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    lr_scale: jnp.ndarray   # scalar f32, multiplied into the base lr
+    step: jnp.ndarray       # scalar i32
+
+
+def make_optimizer(name: str, learning_rate: float) -> optax.GradientTransformation:
+    # inject_hyperparams exposes lr for the plateau-decay scale below
+    if name == "adagrad":
+        return optax.inject_hyperparams(optax.adagrad)(learning_rate=learning_rate)
+    if name == "sgd":
+        return optax.inject_hyperparams(optax.sgd)(learning_rate=learning_rate)
+    if name == "adam":
+        return optax.inject_hyperparams(optax.adam)(learning_rate=learning_rate)
+    raise ValueError(f"unknown optimizer {name!r}")
+
+
+def init_state(params, opt: optax.GradientTransformation) -> TrainState:
+    return TrainState(
+        params=params,
+        opt_state=opt.init(params),
+        lr_scale=jnp.asarray(1.0, jnp.float32),
+        step=jnp.asarray(0, jnp.int32),
+    )
+
+
+def make_train_step(
+    loss_fn: Callable[..., jnp.ndarray],
+    opt: optax.GradientTransformation,
+    base_lr: float,
+    donate: bool = True,
+) -> Callable:
+    """loss_fn(params, batch, rng) -> scalar. Returns jitted
+    step(state, batch, rng) -> (state, metrics)."""
+
+    def step(state: TrainState, batch, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
+        opt_state = state.opt_state
+        # plateau decay: scale the injected lr hyperparam
+        opt_state.hyperparams["learning_rate"] = base_lr * state.lr_scale
+        updates, opt_state = opt.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        gnorm = optax.global_norm(grads)
+        new_state = TrainState(params, opt_state, state.lr_scale, state.step + 1)
+        return new_state, {"loss": loss, "grad_norm": gnorm,
+                           "lr": base_lr * state.lr_scale}
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def decay_lr(state: TrainState, factor: float) -> TrainState:
+    return state._replace(lr_scale=state.lr_scale * factor)

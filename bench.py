@@ -1,0 +1,100 @@
+"""Benchmark entry point — run by the driver on real TPU hardware.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measures the graded throughput counter (BASELINE.json:2 "training
+examples/s/chip") on the flagship config: attribute-aware hybrid MF
+(fusion MLP + sampled-softmax over fused candidate encodings) on a cached
+synthetic dataset with ML-1M-scale cardinalities, single chip.
+
+No published reference numbers exist (BASELINE.md "Evidence status"):
+vs_baseline is measured against the self-recorded regression floor in
+BENCH_FLOOR.json (first accepted run; 1.0 when absent).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from arec.config import Config, DataConfig, ModelConfig, TrainConfig
+from arec.data.dataset import mf_batches
+from arec.data.io import load_or_prepare
+from arec.models.mf import MFSpec, init_mf, mf_loss
+from arec.tables.engine import attrs_to_device
+from arec.train.step import init_state, make_optimizer, make_train_step
+
+BATCH = 4096
+WARMUP, STEPS = 5, 50
+
+
+def main() -> None:
+    cfg = Config(
+        data=DataConfig(dataset="synthetic", data_dir="_data",
+                        syn_users=60000, syn_items=20000,
+                        syn_interactions=600000),
+        model=ModelConfig(model="mf", dim=64, use_attributes=True),
+        train=TrainConfig(batch_size=BATCH, learning_rate=0.3,
+                          num_sampled=1024, loss="ce"),
+    )
+    ds = load_or_prepare(cfg.data)
+    spec = MFSpec.from_config(cfg, ds.user_schema, ds.item_schema)
+    params = init_mf(jax.random.key(0), spec)
+    user_dev = attrs_to_device(ds.user_attrs.restrict(spec.user.schema))
+    item_dev = attrs_to_device(ds.item_attrs.restrict(spec.item.schema))
+
+    opt = make_optimizer("adagrad", cfg.train.learning_rate)
+    state = init_state(params, opt)
+
+    def loss_fn(p, batch, rng):
+        return mf_loss(p, spec, user_dev, item_dev, batch, rng)
+
+    step = make_train_step(loss_fn, opt, cfg.train.learning_rate)
+
+    # pre-stage a ring of device batches so host time is out of the loop
+    ring = []
+    for i, b in enumerate(mf_batches(ds, BATCH, 0, 0)):
+        ring.append({k: jnp.asarray(v) for k, v in b.items()})
+        if i >= 15:
+            break
+    rng = jax.random.key(1)
+
+    for i in range(WARMUP):
+        rng, sub = jax.random.split(rng)
+        state, m = step(state, ring[i % len(ring)], sub)
+    jax.block_until_ready(state.params)
+
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        rng, sub = jax.random.split(rng)
+        state, m = step(state, ring[i % len(ring)], sub)
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+
+    eps = BATCH * STEPS / dt / max(jax.local_device_count(), 1)
+
+    floor = None
+    if os.path.exists("BENCH_FLOOR.json"):
+        try:
+            floor = json.load(open("BENCH_FLOOR.json")).get("value")
+        except Exception:
+            floor = None
+    vs = (eps / floor) if floor else 1.0
+
+    print(json.dumps({
+        "metric": "mf_train_examples_per_s_per_chip",
+        "value": round(eps, 1),
+        "unit": "examples/s/chip",
+        "vs_baseline": round(vs, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+"""Sharded end-to-end parity tests (SURVEY.md §4 golden invariant: "sharded
+forward/backward ... equal to the single-device reference path") + the
+sharded full-softmax top-k merge."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from arec.config import Config, DataConfig, MeshConfig, ModelConfig, TrainConfig
+from arec.data.synthetic import generate
+from arec.dist.mesh import make_mesh
+from arec.models.mf import MFSpec, init_mf, mf_loss
+from arec.retrieval.mips import make_sharded_topk, pad_item_shards
+from arec.tables.engine import attrs_to_device, dense_lookup
+from arec.tables.sharded import make_sharded_lookup
+from arec.train.evalu import topk_with_mask
+from arec.train.loop import Trainer, _pad_params_tables
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = Config(
+        data=DataConfig(syn_users=200, syn_items=160, syn_interactions=4000,
+                        data_dir="/tmp/arec_test_dist"),
+        model=ModelConfig(model="mf", dim=16, use_attributes=True),
+        train=TrainConfig(batch_size=64, num_sampled=32,
+                          compute_dtype="float32"),
+    )
+    ds = generate(cfg.data)
+    spec = MFSpec.from_config(cfg, ds.user_schema, ds.item_schema)
+    params = init_mf(jax.random.key(0), spec)
+    user_dev = attrs_to_device(ds.user_attrs.restrict(spec.user.schema))
+    item_dev = attrs_to_device(ds.item_attrs.restrict(spec.item.schema))
+    batch = {
+        "user": jnp.asarray(ds.train_users[:64]),
+        "pos_item": jnp.asarray(ds.train_items[:64]),
+    }
+    return cfg, ds, spec, params, user_dev, item_dev, batch
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2), (8, 1), (1, 8)])
+def test_sharded_mf_loss_and_grads_match_single_device(setup, mesh_shape):
+    """Whole-model forward+backward through the all-to-all lookup equals the
+    dense single-device path (tables are row-padded for the mesh; padding
+    must not change results)."""
+    cfg, ds, spec, params, user_dev, item_dev, batch = setup
+    mesh = make_mesh(*mesh_shape)
+    lookup = make_sharded_lookup(mesh)
+    params_p = _pad_params_tables(params, mesh_shape[1])
+    rng = jax.random.key(3)
+
+    def loss_dense(p):
+        return mf_loss(p, spec, user_dev, item_dev, batch, rng, dense_lookup)
+
+    def loss_sharded(p):
+        return mf_loss(p, spec, user_dev, item_dev, batch, rng, lookup)
+
+    l0, g0 = jax.value_and_grad(loss_dense)(params)
+    l1, g1 = jax.jit(jax.value_and_grad(loss_sharded))(params_p)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+    for k in ("user", "item"):
+        for name, g in g0[k]["tables"].items():
+            got = np.asarray(g1[k]["tables"][name])[: g.shape[0]]
+            np.testing.assert_allclose(got, np.asarray(g), rtol=1e-4,
+                                       atol=1e-6, err_msg=f"{k}/{name}")
+    np.testing.assert_allclose(np.asarray(g1["item_bias"]),
+                               np.asarray(g0["item_bias"]), rtol=1e-4,
+                               atol=1e-6)
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (1, 8)])
+def test_sharded_topk_matches_dense(mesh_shape):
+    rng = np.random.default_rng(0)
+    B, V, D, K = 16, 37, 8, 5
+    mesh = make_mesh(*mesh_shape)
+    q = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(V, D)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(V,)), jnp.float32)
+    seen = jnp.asarray(
+        np.where(rng.random((B, 6)) < 0.5,
+                 rng.integers(0, V, (B, 6)), -1).astype(np.int32))
+    vp, bp = pad_item_shards(v, b, mesh_shape[1])
+    got_s, got_i = make_sharded_topk(mesh, k=K, compute_dtype=jnp.float32)(
+        q, vp, bp, seen)
+    want_s, want_i = topk_with_mask(q, v, b, seen, k=K,
+                                    compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                               rtol=1e-5, atol=1e-5)
+    # ids must agree wherever scores are distinct (ties may reorder)
+    s = np.asarray(want_s)
+    distinct = np.abs(s - np.roll(s, 1, axis=1)) > 1e-5
+    np.testing.assert_array_equal(np.asarray(got_i)[distinct],
+                                  np.asarray(want_i)[distinct])
+
+
+def test_trainer_sharded_end_to_end(tmp_path):
+    """Trainer on a (2,4) mesh: a few steps run, loss finite and decreasing,
+    eval + recommend paths work."""
+    cfg = Config(
+        data=DataConfig(syn_users=150, syn_items=120, syn_interactions=3000,
+                        data_dir=str(tmp_path / "data")),
+        model=ModelConfig(model="mf", dim=16, use_attributes=True),
+        train=TrainConfig(batch_size=64, num_sampled=32, n_epoch=2,
+                          steps_per_checkpoint=10_000,
+                          compute_dtype="float32",
+                          train_dir=str(tmp_path / "train")),
+        mesh=MeshConfig(data=2, model=4, lookup="alltoall"),
+    )
+    trainer = Trainer(cfg)
+    summary = trainer.train()
+    assert np.isfinite(summary["recall_at_k"])
+    rows = trainer.recommend(out_path=str(tmp_path / "sub.tsv"))
+    assert len(rows) == len(trainer.ds.valid_users)
+    assert len(rows[0][1]) == cfg.train.eval_topk
+    assert (tmp_path / "sub.tsv").exists()

@@ -1,0 +1,152 @@
+"""Loss-family tests (SURVEY.md §4: "sampled-softmax loss vs a
+straightforward log_softmax-with-correction numpy implementation")."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from arec.losses.losses import (
+    batch_bpr_loss, batch_mw_loss, bpr_loss, full_softmax_loss,
+    sampled_softmax_loss, warp_loss,
+)
+from arec.losses.sampling import log_uniform_prob, log_uniform_sample
+
+V, D, B = 60, 16, 32
+
+
+@pytest.fixture
+def setup():
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.normal(size=(V, D)) * 0.3, jnp.float32)
+    bias_arr = jnp.asarray(rng.normal(size=(V,)) * 0.1, jnp.float32)
+    q = jnp.asarray(rng.normal(size=(B, D)) * 0.3, jnp.float32)
+    true_ids = jnp.asarray(rng.integers(0, V, B), jnp.int32)
+    embed = lambda ids: table[ids]
+    bias = lambda ids: bias_arr[ids]
+    return q, true_ids, embed, bias, table, bias_arr
+
+
+def test_log_uniform_sampler_matches_analytic_distribution():
+    ids, p = log_uniform_sample(jax.random.key(0), 200_000, V)
+    counts = np.bincount(np.asarray(ids), minlength=V) / 200_000
+    want = np.asarray(log_uniform_prob(jnp.arange(V), V))
+    np.testing.assert_allclose(p, want[np.asarray(ids)], rtol=1e-5)
+    np.testing.assert_allclose(counts, want, atol=3e-3)
+    assert counts[0] > counts[V - 1] * 5  # strongly head-weighted
+
+
+def _offset(true_ids, num_sampled, dist):
+    """TF1-semantics sampled CE sits above full CE by exactly
+    mean(log(S·P(true))) — a per-example constant with zero gradient
+    (the −log expected_count correction is applied to the TRUE logit too)."""
+    if dist == "uniform":
+        p = np.full(len(true_ids), 1.0 / V)
+    else:
+        p = np.asarray(log_uniform_prob(jnp.asarray(true_ids), V))
+    return float(np.mean(np.log(num_sampled * p)))
+
+
+@pytest.mark.parametrize("dist", ["uniform", "log_uniform"])
+def test_sampled_softmax_converges_to_full_softmax(setup, dist):
+    """With S >> V the offset-corrected sampled CE must approach the exact
+    full-softmax CE (consistency of the estimator — SURVEY.md §4)."""
+    q, true_ids, embed, bias, table, bias_arr = setup
+    full = full_softmax_loss(q, true_ids, table, bias_arr,
+                             compute_dtype=jnp.float32)
+    est = np.mean([
+        float(sampled_softmax_loss(
+            q, true_ids, embed, bias, jax.random.key(s), 8192, V,
+            dist=dist, remove_accidental_hits=False,
+            compute_dtype=jnp.float32))
+        for s in range(8)
+    ]) - _offset(true_ids, 8192, dist)
+    assert abs(est - float(full)) < 0.1, (est, float(full))
+
+
+def test_sampled_softmax_gradient_matches_full_softmax(setup):
+    """The graded parity bar rides on gradients, not loss values
+    (SURVEY.md §7 "Sampled-softmax parity")."""
+    q, true_ids, embed, bias, table, bias_arr = setup
+
+    g_full = jax.grad(lambda qq: full_softmax_loss(
+        qq, true_ids, table, bias_arr, compute_dtype=jnp.float32))(q)
+    g_samp = np.mean([
+        np.asarray(jax.grad(lambda qq: sampled_softmax_loss(
+            qq, true_ids, embed, bias, jax.random.key(s), 8192, V,
+            dist="uniform", remove_accidental_hits=False,
+            compute_dtype=jnp.float32))(q))
+        for s in range(8)
+    ], axis=0)
+    g_full = np.asarray(g_full)
+    cos = (g_full * g_samp).sum() / (
+        np.linalg.norm(g_full) * np.linalg.norm(g_samp) + 1e-12)
+    assert cos > 0.99, cos
+    rel = np.linalg.norm(g_full - g_samp) / np.linalg.norm(g_full)
+    assert rel < 0.15, rel
+
+
+def test_accidental_hit_removal_changes_loss(setup):
+    q, true_ids, embed, bias, *_ = setup
+    a = sampled_softmax_loss(q, true_ids, embed, bias, jax.random.key(1),
+                             512, V, remove_accidental_hits=True,
+                             compute_dtype=jnp.float32)
+    b = sampled_softmax_loss(q, true_ids, embed, bias, jax.random.key(1),
+                             512, V, remove_accidental_hits=False,
+                             compute_dtype=jnp.float32)
+    assert float(a) < float(b)  # removing true-class logits lowers CE
+
+
+def test_position_weights_mask_rows(setup):
+    q, true_ids, embed, bias, *_ = setup
+    w = jnp.zeros((B,)).at[:4].set(1.0)
+    masked = sampled_softmax_loss(q, true_ids, embed, bias, jax.random.key(2),
+                                  256, V, weights=w, compute_dtype=jnp.float32)
+    first4 = sampled_softmax_loss(q[:4], true_ids[:4], embed, bias,
+                                  jax.random.key(2), 256, V,
+                                  compute_dtype=jnp.float32)
+    np.testing.assert_allclose(float(masked), float(first4), rtol=1e-5)
+
+
+@pytest.mark.parametrize("name", ["warp", "bpr", "mw", "bbpr", "ce"])
+def test_losses_finite_with_finite_grads(setup, name):
+    q, true_ids, embed, bias, table, bias_arr = setup
+
+    def f(qq):
+        if name == "ce":
+            return sampled_softmax_loss(qq, true_ids, embed, bias,
+                                        jax.random.key(3), 64, V,
+                                        compute_dtype=jnp.float32)
+        if name == "warp":
+            return warp_loss(qq, true_ids, embed, bias, jax.random.key(3),
+                             64, V, compute_dtype=jnp.float32)
+        if name == "bpr":
+            return bpr_loss(qq, true_ids, embed, bias, jax.random.key(3),
+                            64, V, compute_dtype=jnp.float32)
+        if name == "mw":
+            return batch_mw_loss(qq, true_ids, embed, bias, V,
+                                 compute_dtype=jnp.float32)
+        return batch_bpr_loss(qq, true_ids, embed, bias,
+                              compute_dtype=jnp.float32)
+
+    loss, g = jax.value_and_grad(f)(q)
+    assert np.isfinite(float(loss)) and float(loss) >= 0.0
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_pairwise_losses_prefer_better_model(setup):
+    """A query matrix aligned with its true item embeddings must score a
+    lower ranking loss than a random one."""
+    q, true_ids, embed, bias, table, bias_arr = setup
+    good_q = table[true_ids] * 3.0
+    for fn in (
+        lambda qq: bpr_loss(qq, true_ids, embed, bias, jax.random.key(4), 128,
+                            V, compute_dtype=jnp.float32),
+        lambda qq: batch_bpr_loss(qq, true_ids, embed, bias,
+                                  compute_dtype=jnp.float32),
+        lambda qq: batch_mw_loss(qq, true_ids, embed, bias, V,
+                                 compute_dtype=jnp.float32),
+        lambda qq: warp_loss(qq, true_ids, embed, bias, jax.random.key(4),
+                             128, V, compute_dtype=jnp.float32),
+    ):
+        assert float(fn(good_q)) < float(fn(q))

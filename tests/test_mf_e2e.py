@@ -1,0 +1,98 @@
+"""End-to-end MF training on synthetic data (SURVEY.md §7 build order step 2:
+"the one-model-running-end-to-end milestone"): loss must drop and Recall@30
+must clearly beat the random baseline after a short training run."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from arec.config import Config, DataConfig, ModelConfig, TrainConfig
+from arec.data.dataset import eval_batches, mf_batches
+from arec.data.synthetic import generate
+from arec.models.mf import (
+    MFSpec, init_mf, mf_item_latents, mf_loss, mf_user_latents, init_mf,
+)
+from arec.tables.engine import attrs_to_device
+from arec.train.evalu import recall_hits
+from arec.train.step import init_state, make_optimizer, make_train_step
+
+
+def _recall(params, spec, user_dev, item_dev, ds, k=30):
+    v, b = mf_item_latents(params, spec, item_dev, block=512)
+    hits = total = 0.0
+    for batch in eval_batches(ds, 128):
+        u = mf_user_latents(params, spec, user_dev, jnp.asarray(batch["user"]))
+        seen = jnp.asarray(ds.seen_items[batch["user"]])
+        h, t = recall_hits(u, v, b, seen, jnp.asarray(batch["pos_item"]),
+                           jnp.asarray(batch["valid"]), k=k)
+        hits += float(h)
+        total += float(t)
+    return hits / max(total, 1.0)
+
+
+@pytest.mark.parametrize("use_attributes", [False, True])
+def test_mf_end_to_end_learns(use_attributes):
+    cfg = Config(
+        data=DataConfig(syn_users=400, syn_items=300, syn_interactions=12000),
+        model=ModelConfig(model="mf", dim=32, use_attributes=use_attributes),
+        train=TrainConfig(batch_size=128, learning_rate=0.3, num_sampled=128,
+                          loss="ce", compute_dtype="float32"),
+    )
+    ds = generate(cfg.data)
+    spec = MFSpec.from_config(cfg, ds.user_schema, ds.item_schema)
+    params = init_mf(jax.random.key(cfg.train.seed), spec)
+    user_dev = attrs_to_device(
+        ds.user_attrs.restrict(spec.user.schema))
+    item_dev = attrs_to_device(
+        ds.item_attrs.restrict(spec.item.schema))
+
+    opt = make_optimizer(cfg.train.optimizer, cfg.train.learning_rate)
+    state = init_state(params, opt)
+
+    def loss_fn(p, batch, rng):
+        return mf_loss(p, spec, user_dev, item_dev, batch, rng)
+
+    step = make_train_step(loss_fn, opt, cfg.train.learning_rate, donate=False)
+
+    recall_before = _recall(params, spec, user_dev, item_dev, ds)
+
+    rng = jax.random.key(123)
+    losses = []
+    for epoch in range(4):
+        for batch in mf_batches(ds, cfg.train.batch_size, cfg.train.seed, epoch):
+            rng, sub = jax.random.split(rng)
+            state, m = step(state, {k: jnp.asarray(v) for k, v in batch.items()},
+                            sub)
+            losses.append(float(m["loss"]))
+
+    recall_after = _recall(state.params, spec, user_dev, item_dev, ds)
+    random_baseline = 30 / ds.num_items
+
+    first, last = np.mean(losses[:10]), np.mean(losses[-10:])
+    assert last < first * 0.8, (first, last)
+    assert recall_after > random_baseline * 1.3, (recall_after, random_baseline)
+    assert recall_after > recall_before + 0.05, (recall_before, recall_after)
+
+
+def test_mf_losses_all_run_one_step():
+    cfg = Config(
+        data=DataConfig(syn_users=100, syn_items=80, syn_interactions=2000),
+        train=TrainConfig(batch_size=32, num_sampled=32,
+                          compute_dtype="float32"),
+    )
+    ds = generate(cfg.data)
+    for loss in ("ce", "warp", "bpr", "mw", "bbpr"):
+        c = cfg.replace(train=TrainConfig(batch_size=32, num_sampled=32,
+                                          loss=loss, compute_dtype="float32"))
+        spec = MFSpec.from_config(c, ds.user_schema, ds.item_schema)
+        params = init_mf(jax.random.key(0), spec)
+        user_dev = attrs_to_device(ds.user_attrs.restrict(spec.user.schema))
+        item_dev = attrs_to_device(ds.item_attrs.restrict(spec.item.schema))
+        batch = next(iter(mf_batches(ds, 32, 0, 0)))
+        val, grads = jax.value_and_grad(mf_loss)(
+            params, spec, user_dev, item_dev,
+            {k: jnp.asarray(v) for k, v in batch.items()}, jax.random.key(1))
+        assert np.isfinite(float(val)), loss
+        assert all(np.isfinite(np.asarray(g)).all()
+                   for g in jax.tree_util.tree_leaves(grads)), loss
