@@ -209,6 +209,8 @@ def seq_batches(
     Emits fixed shapes: inputs/targets int32 [B, L] with pad id = num_items
     (never a real item), mask float32 [B, L].
     """
+    from arec import native  # C++ packer; falls back to numpy transparently
+
     users = np.flatnonzero(ds.hist_lengths >= 2)
     perm = users[_epoch_perm(len(users), seed, epoch)][host_id::num_hosts]
     pad = ds.num_items
@@ -219,17 +221,10 @@ def seq_batches(
             return
         if len(idx) < batch_size:
             idx = np.concatenate([idx, perm[: batch_size - len(idx)]])
-        inputs = np.full((batch_size, max_seq_len), pad, np.int32)
-        targets = np.full((batch_size, max_seq_len), pad, np.int32)
-        mask = np.zeros((batch_size, max_seq_len), np.float32)
-        for row, u in enumerate(idx):
-            h = ds.hist_items[u, : ds.hist_lengths[u]]
-            h = h[-(max_seq_len + 1):]
-            t = len(h) - 1
-            inputs[row, max_seq_len - t:] = h[:-1]
-            targets[row, max_seq_len - t:] = h[1:]
-            mask[row, max_seq_len - t:] = 1.0
-        yield {"user": idx.astype(np.int32), "inputs": inputs,
+        idx = idx.astype(np.int32)
+        inputs, targets, mask = native.pack_train_sequences(
+            ds.hist_items, ds.hist_lengths, idx, max_seq_len, pad)
+        yield {"user": idx, "inputs": inputs,
                "targets": targets, "mask": mask}
 
 
@@ -256,12 +251,10 @@ def eval_batches(
             "valid": valid,
         }
         if max_seq_len:
-            inputs = np.full((batch_size, max_seq_len), pad_item, np.int32)
-            mask = np.zeros((batch_size, max_seq_len), np.float32)
-            for row, u in enumerate(batch["user"]):
-                h = ds.hist_items[u, : ds.hist_lengths[u]][-max_seq_len:]
-                inputs[row, max_seq_len - len(h):] = h
-                mask[row, max_seq_len - len(h):] = 1.0
+            from arec import native
+            inputs, mask = native.pack_eval_sequences(
+                ds.hist_items, ds.hist_lengths,
+                batch["user"].astype(np.int32), max_seq_len, pad_item)
             batch["inputs"] = inputs
             batch["mask"] = mask
         yield batch

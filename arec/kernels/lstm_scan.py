@@ -7,15 +7,23 @@ Design (see arec/models/seq.py for the shared layout):
   * The input projection x·Wx for all timesteps is computed OUTSIDE as one
     large MXU matmul. The kernel receives xw = x·Wx + b, so the sequential
     part is only the small recurrent matmul h·Wh per step.
-  * Grid over batch tiles; time-major layout [L, B, ·] so each step is a
-    leading-dim slice. h and c live in VMEM scratch for the whole sequence —
-    zero HBM traffic for the recurrent state.
-  * Gates are fused in one [BT, H] × [H, 4H] matmul + VPU elementwise block.
-  * Masked state updates (left-padded sequences): pad steps are exact no-ops.
+  * 2-D grid (batch tiles × TIME BLOCKS). TPU grids run sequentially on the
+    core with the last axis fastest, and scratch persists across grid steps:
+    h/c live in VMEM scratch for the whole sequence while Mosaic's automatic
+    block pipelining streams [LT, BT, ·] time blocks HBM→VMEM. The batch
+    tile stays MXU-sized (128) for any sequence length — VMEM holds one time
+    block, not the whole sequence.
+  * Gates fused in one [BT, H] × [H, 4H] matmul + VPU elementwise block.
+  * Masked state updates (left-padded sequences): pad steps are exact
+    no-ops, which also makes time-padding to a block multiple free. The
+    mask is pre-broadcast to [L, B, H]: a [B, L] layout would need per-step
+    column loads (vector<BTx1>) that Mosaic cannot lower.
   * Hand-written backward kernel (custom VJP, pallas_guide.md "Patterns:
-    Custom VJP"): reverse-time scan that recomputes gate pre-activations
-    from (xw, h_all) residuals — no [B, L, 4H] activation stash — and
-    accumulates dWh in VMEM scratch, emitting one partial per batch tile.
+    Custom VJP"): time blocks visited in REVERSE via the index_map;
+    gate pre-activations are recomputed from (xw, h_prev) residuals — no
+    [B, L, 4H] activation stash — h_prev/c_prev arrive as shift-by-one
+    views so block boundaries need no cross-block reads; dWh accumulates
+    in a revisited per-batch-tile output block.
 
 The lax.scan implementation in arec/models/seq.py is the permanent
 differential-testing reference (SURVEY.md §7 "Pallas LSTM scan").
@@ -37,24 +45,25 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _pick_batch_tile(b: int, L: int, h: int, vmem_budget: int = 10 << 20) -> int:
-    """Largest power-of-two tile (≥8) whose VMEM working set fits."""
-    bt = 256
-    while bt > 8:
-        # xw [L,BT,4H] + h_all/c_all [L,BT,H]·2 + dh [L,BT,H] + scratch
-        working = 4 * (L * bt * 4 * h + 3 * L * bt * h + 4 * bt * h)
-        if working <= vmem_budget and bt <= max(b, 8):
-            break
-        bt //= 2
-    return bt
+def _pick_tiles(b: int, L: int, h: int, vmem_budget: int = 10 << 20):
+    """(BT, LT): batch tile targets MXU rows; time block sized so the
+    double-buffered working set fits scoped VMEM. Streams per time block
+    (worst case = backward): xw + dxw (4H each) + h_prev/c_prev/dh_out/mask
+    (H each) = 12H lanes, ×2 buffers, f32."""
+    bt = min(128, max(8, 1 << (b - 1).bit_length()))
+    lt = L
+    while lt > 1 and 8 * lt * bt * 12 * h > vmem_budget:
+        lt = (lt + 1) // 2
+    return bt, lt
 
 
-def _pad_batch(x, bt):
-    b = x.shape[1]
-    pad = (-b) % bt
+def _pad_axis(x, mult, axis):
+    pad = (-x.shape[axis]) % mult
     if pad:
-        x = jnp.pad(x, ((0, 0), (0, pad)) + ((0, 0),) * (x.ndim - 2))
-    return x, b
+        widths = [(0, 0)] * x.ndim
+        widths[axis] = (0, pad)
+        x = jnp.pad(x, widths)
+    return x
 
 
 # ---------------------------------------------------------------------------
@@ -62,14 +71,16 @@ def _pad_batch(x, bt):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(xw_ref, wh_ref, mask_ref, h_out_ref, c_out_ref,
-                h_scr, c_scr, *, L, H, dtype):
-    h_scr[:] = jnp.zeros_like(h_scr)
-    c_scr[:] = jnp.zeros_like(c_scr)
+                h_scr, c_scr, *, LT, H, dtype):
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        h_scr[:] = jnp.zeros_like(h_scr)
+        c_scr[:] = jnp.zeros_like(c_scr)
+
     wh = wh_ref[:].astype(dtype)
 
-    def step(t, _):
-        xw_t = xw_ref[pl.ds(t, 1)][0]                       # [BT, 4H]
-        gates = xw_t + jax.lax.dot_general(
+    def step(tt, _):
+        gates = xw_ref[pl.ds(tt, 1)][0] + jax.lax.dot_general(
             h_scr[:].astype(dtype), wh,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -79,81 +90,79 @@ def _fwd_kernel(xw_ref, wh_ref, mask_ref, h_out_ref, c_out_ref,
         o = jax.nn.sigmoid(gates[:, 3 * H:])
         c_new = f * c_scr[:] + i * g
         h_new = o * jnp.tanh(c_new)
-        m = mask_ref[pl.ds(t, 1)].reshape(-1, 1)            # [BT, 1]
+        m = mask_ref[pl.ds(tt, 1)][0]                       # [BT, H]
         h_scr[:] = m * h_new + (1.0 - m) * h_scr[:]
         c_scr[:] = m * c_new + (1.0 - m) * c_scr[:]
-        h_out_ref[pl.ds(t, 1)] = h_scr[:][None]
-        c_out_ref[pl.ds(t, 1)] = c_scr[:][None]
+        h_out_ref[pl.ds(tt, 1)] = h_scr[:][None]
+        c_out_ref[pl.ds(tt, 1)] = c_scr[:][None]
         return 0
 
-    jax.lax.fori_loop(0, L, step, 0)
+    jax.lax.fori_loop(0, LT, step, 0)
 
 
-def _forward(xw_tm, wh, mask_tm, *, dtype):
-    """xw_tm [L, B, 4H], wh [H, 4H], mask_tm [L, B] → (h_all, c_all) [L, B, H]."""
+def _forward(xw_tm, wh, mask_bm, *, dtype):
+    """xw_tm [L, B, 4H], wh [H, 4H], mask_bm [B, L] → (h_all, c_all) [L, B, H]."""
     L, B, H4 = xw_tm.shape
     H = H4 // 4
-    BT = _pick_batch_tile(B, L, H)
-    xw_tm, b0 = _pad_batch(xw_tm, BT)
-    mask_tm, _ = _pad_batch(mask_tm, BT)
-    Bp = xw_tm.shape[1]
-    grid = (Bp // BT,)
-    kernel = functools.partial(_fwd_kernel, L=L, H=H, dtype=dtype)
+    BT, LT = _pick_tiles(B, L, H)
+    xw_tm = _pad_axis(_pad_axis(xw_tm, BT, 1), LT, 0)
+    Lp, Bp = xw_tm.shape[:2]
+    mask_bm = _pad_axis(_pad_axis(mask_bm, BT, 0), LT, 1)
+    mask_e = jnp.broadcast_to(mask_bm.T[:, :, None], (Lp, Bp, H))
+    grid = (Bp // BT, Lp // LT)
+    kernel = functools.partial(_fwd_kernel, LT=LT, H=H, dtype=dtype)
+    tblock = lambda w: pl.BlockSpec((LT, BT, w), lambda i, j: (j, i, 0),
+                                    memory_space=pltpu.VMEM)
     h_all, c_all = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((L, BT, 4 * H), lambda i: (0, i, 0),
+            tblock(4 * H),
+            pl.BlockSpec((H, 4 * H), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, 4 * H), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, BT), lambda i: (0, i), memory_space=pltpu.VMEM),
+            tblock(H),
         ],
-        out_specs=[
-            pl.BlockSpec((L, BT, H), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, BT, H), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=[tblock(H), tblock(H)],
         out_shape=[
-            jax.ShapeDtypeStruct((L, Bp, H), jnp.float32),
-            jax.ShapeDtypeStruct((L, Bp, H), jnp.float32),
+            jax.ShapeDtypeStruct((Lp, Bp, H), jnp.float32),
+            jax.ShapeDtypeStruct((Lp, Bp, H), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((BT, H), jnp.float32),
             pltpu.VMEM((BT, H), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * L * Bp * H * 4 * H + 10 * L * Bp * H,
-            bytes_accessed=4 * (L * Bp * 4 * H + 2 * L * Bp * H),
-            transcendentals=4 * L * Bp * H,
+            flops=2 * Lp * Bp * H * 4 * H + 10 * Lp * Bp * H,
+            bytes_accessed=4 * (Lp * Bp * 4 * H + 3 * Lp * Bp * H),
+            transcendentals=4 * Lp * Bp * H,
         ),
         interpret=_interpret(),
-    )(xw_tm, wh, mask_tm)
-    return h_all[:, :b0], c_all[:, :b0]
+    )(xw_tm, wh, mask_e)
+    return h_all[:L, :B], c_all[:L, :B]
 
 
 # ---------------------------------------------------------------------------
 # Backward
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(xw_ref, wh_ref, mask_ref, h_ref, c_ref, dh_out_ref,
+def _bwd_kernel(xw_ref, wh_ref, mask_ref, hp_ref, cp_ref, dh_out_ref,
                 dxw_ref, dwh_ref,
-                dh_scr, dc_scr, dwh_scr, *, L, H, dtype):
-    dh_scr[:] = jnp.zeros_like(dh_scr)
-    dc_scr[:] = jnp.zeros_like(dc_scr)
-    dwh_scr[:] = jnp.zeros_like(dwh_scr)
+                dh_scr, dc_scr, *, LT, H, dtype):
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+        dc_scr[:] = jnp.zeros_like(dc_scr)
+        dwh_ref[:] = jnp.zeros_like(dwh_ref)
+
     wh = wh_ref[:].astype(dtype)
 
     def step(k, _):
-        t = L - 1 - k
-        tm1 = jnp.maximum(t - 1, 0)
-        prev_ok = (t > 0).astype(jnp.float32)
-        h_prev = h_ref[pl.ds(tm1, 1)][0] * prev_ok           # [BT, H]
-        c_prev = c_ref[pl.ds(tm1, 1)][0] * prev_ok
+        tt = LT - 1 - k
+        h_prev = hp_ref[pl.ds(tt, 1)][0]                    # [BT, H]
+        c_prev = cp_ref[pl.ds(tt, 1)][0]
 
-        # recompute gate pre-activations (cheaper than stashing [L,BT,4H])
-        gates = xw_ref[pl.ds(t, 1)][0] + jax.lax.dot_general(
+        # recompute gate pre-activations (cheaper than stashing [L,B,4H])
+        gates = xw_ref[pl.ds(tt, 1)][0] + jax.lax.dot_general(
             h_prev.astype(dtype), wh,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -164,8 +173,8 @@ def _bwd_kernel(xw_ref, wh_ref, mask_ref, h_ref, c_ref, dh_out_ref,
         c_new = sf * c_prev + si * tg
         tc = jnp.tanh(c_new)
 
-        m = mask_ref[pl.ds(t, 1)].reshape(-1, 1)
-        dh_total = dh_out_ref[pl.ds(t, 1)][0] + dh_scr[:]
+        m = mask_ref[pl.ds(tt, 1)][0]                       # [BT, H]
+        dh_total = dh_out_ref[pl.ds(tt, 1)][0] + dh_scr[:]
         dh_new = m * dh_total
         dh_skip = (1.0 - m) * dh_total
         dc_total = dc_scr[:]
@@ -179,13 +188,13 @@ def _bwd_kernel(xw_ref, wh_ref, mask_ref, h_ref, c_ref, dh_out_ref,
         dg_pre = dc_new * si * (1.0 - tg * tg)
 
         dgates = jnp.concatenate([di_pre, df_pre, dg_pre, do_pre], axis=1)
-        dxw_ref[pl.ds(t, 1)] = dgates[None]
+        dxw_ref[pl.ds(tt, 1)] = dgates[None]
 
-        # dWh += h_prevᵀ · dgates   ([H, BT] × [BT, 4H])
-        dwh_scr[:] += jax.lax.dot_general(
+        # dWh += h_prevᵀ · dgates  (accumulates in the revisited out block)
+        dwh_ref[:] += jax.lax.dot_general(
             h_prev.astype(dtype), dgates.astype(dtype),
             dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32)[None]
 
         # carries to step t−1
         dh_scr[:] = jax.lax.dot_general(
@@ -195,56 +204,62 @@ def _bwd_kernel(xw_ref, wh_ref, mask_ref, h_ref, c_ref, dh_out_ref,
         dc_scr[:] = dc_new * sf + dc_skip
         return 0
 
-    jax.lax.fori_loop(0, L, step, 0)
-    dwh_ref[:] = dwh_scr[:][None]
+    jax.lax.fori_loop(0, LT, step, 0)
 
 
-def _backward(xw_tm, wh, mask_tm, h_all, c_all, dh_out, *, dtype):
+def _backward(xw_tm, wh, mask_bm, h_all, c_all, dh_out, *, dtype):
     L, B, H4 = xw_tm.shape
     H = H4 // 4
-    BT = _pick_batch_tile(B, L, H)
-    xw_tm, b0 = _pad_batch(xw_tm, BT)
-    mask_tm, _ = _pad_batch(mask_tm, BT)
-    h_all, _ = _pad_batch(h_all, BT)
-    c_all, _ = _pad_batch(c_all, BT)
-    dh_out, _ = _pad_batch(dh_out, BT)
-    Bp = xw_tm.shape[1]
-    grid = (Bp // BT,)
-    kernel = functools.partial(_bwd_kernel, L=L, H=H, dtype=dtype)
+    BT, LT = _pick_tiles(B, L, H)
+    pad2 = lambda x: _pad_axis(_pad_axis(x, BT, 1), LT, 0)
+    xw_tm = pad2(xw_tm)
+    Lp, Bp = xw_tm.shape[:2]
+    mask_bm = _pad_axis(_pad_axis(mask_bm, BT, 0), LT, 1)
+    mask_e = jnp.broadcast_to(mask_bm.T[:, :, None], (Lp, Bp, H))
+    # shift-by-one views: h_prev[t] = h_all[t-1] (zeros at t=0) — block
+    # boundaries then need no cross-block reads in the reversed sweep.
+    zrow = jnp.zeros((1,) + h_all.shape[1:], h_all.dtype)
+    h_prev = pad2(jnp.concatenate([zrow, h_all[:-1]], axis=0))
+    c_prev = pad2(jnp.concatenate([zrow, c_all[:-1]], axis=0))
+    dh_out = pad2(dh_out)
+
+    grid = (Bp // BT, Lp // LT)
+    nt = Lp // LT
+    kernel = functools.partial(_bwd_kernel, LT=LT, H=H, dtype=dtype)
+    # reversed time-block visitation
+    rblock = lambda w: pl.BlockSpec(
+        (LT, BT, w), lambda i, j: (nt - 1 - j, i, 0),
+        memory_space=pltpu.VMEM)
     dxw, dwh_parts = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((L, BT, 4 * H), lambda i: (0, i, 0),
+            rblock(4 * H),
+            pl.BlockSpec((H, 4 * H), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, 4 * H), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, BT), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, BT, H), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, BT, H), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, BT, H), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
+            rblock(H), rblock(H), rblock(H), rblock(H),
         ],
         out_specs=[
-            pl.BlockSpec((L, BT, 4 * H), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, 4 * H), lambda i: (i, 0, 0),
+            rblock(4 * H),
+            pl.BlockSpec((1, H, 4 * H), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((L, Bp, 4 * H), jnp.float32),
+            jax.ShapeDtypeStruct((Lp, Bp, 4 * H), jnp.float32),
             jax.ShapeDtypeStruct((Bp // BT, H, 4 * H), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((BT, H), jnp.float32),
             pltpu.VMEM((BT, H), jnp.float32),
-            pltpu.VMEM((H, 4 * H), jnp.float32),
         ],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * Lp * Bp * H * 4 * H + 30 * Lp * Bp * H,
+            bytes_accessed=4 * Lp * Bp * (8 * H + 4 * H),
+            transcendentals=4 * Lp * Bp * H,
+        ),
         interpret=_interpret(),
-    )(xw_tm, wh, mask_tm, h_all, c_all, dh_out)
-    return dxw[:, :b0], dwh_parts.sum(axis=0)
+    )(xw_tm, wh, mask_e, h_prev, c_prev, dh_out)
+    return dxw[:L, :B], dwh_parts.sum(axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -252,19 +267,19 @@ def _backward(xw_tm, wh, mask_tm, h_all, c_all, dh_out, *, dtype):
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def lstm_layer_pallas(xw_tm, wh, mask_tm, dtype=jnp.bfloat16):
-    h_all, _ = _forward(xw_tm, wh, mask_tm, dtype=dtype)
+def lstm_layer_pallas(xw_tm, wh, mask_bm, dtype=jnp.bfloat16):
+    h_all, _ = _forward(xw_tm, wh, mask_bm, dtype=dtype)
     return h_all
 
 
-def _vjp_fwd(xw_tm, wh, mask_tm, dtype):
-    h_all, c_all = _forward(xw_tm, wh, mask_tm, dtype=dtype)
-    return h_all, (xw_tm, wh, mask_tm, h_all, c_all)
+def _vjp_fwd(xw_tm, wh, mask_bm, dtype):
+    h_all, c_all = _forward(xw_tm, wh, mask_bm, dtype=dtype)
+    return h_all, (xw_tm, wh, mask_bm, h_all, c_all)
 
 
 def _vjp_bwd(dtype, res, dh_out):
-    xw_tm, wh, mask_tm, h_all, c_all = res
-    dxw, dwh = _backward(xw_tm, wh, mask_tm, h_all, c_all, dh_out,
+    xw_tm, wh, mask_bm, h_all, c_all = res
+    dxw, dwh = _backward(xw_tm, wh, mask_bm, h_all, c_all, dh_out,
                          dtype=dtype)
     return dxw, dwh, None
 
@@ -279,11 +294,10 @@ def pallas_lstm_scan(layers: list[dict], x: jnp.ndarray, mask: jnp.ndarray,
     from arec.models.seq import input_projection  # shared xw layout
 
     h = x
-    mask_tm = mask.transpose(1, 0)
     for p in layers:
         d_in = h.shape[-1]
         xw = input_projection(p, h, dtype)              # [B, L, 4H]
         h_all = lstm_layer_pallas(
-            xw.transpose(1, 0, 2), p["w"][d_in:], mask_tm, dtype)
+            xw.transpose(1, 0, 2), p["w"][d_in:], mask, dtype)
         h = h_all.transpose(1, 0, 2)
     return h

@@ -261,11 +261,16 @@ class Trainer:
         best_recall, prev_loss = 0.0, float("inf")
         window, steps_done = [], int(self.state.step)
         ex_since, t_since = 0, time.time()
+        from arec.data.prefetch import prefetch, to_device
+        from arec.train.profile import StepProfiler
+        profiler = StepProfiler()
         stop = False
         for epoch in range(self.start_epoch, t.n_epoch):
-            for batch in self._batches(epoch):
+            # native-packed batches staged to device a step ahead of compute
+            for jb in prefetch(self._batches(epoch), depth=2,
+                               transform=to_device()):
                 rng, sub = jax.random.split(rng)
-                jb = {k: jnp.asarray(v) for k, v in batch.items()}
+                profiler.on_step(steps_done)
                 self.state, m = self.step_fn(self.state, jb, sub)
                 window.append(m["loss"])
                 ex_since += t.batch_size
@@ -295,6 +300,7 @@ class Trainer:
                     break
             if stop:
                 break
+        profiler.close()
         final_recall = self.evaluate()
         best_recall = max(best_recall, final_recall)
         self.metrics.log(steps_done, final_recall_at_k=final_recall,

@@ -1,0 +1,78 @@
+"""Checkpoint round-trip + config serialization + CLI parsing
+(SURVEY.md §5 "Checkpoint / resume", "Config / flag system")."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from arec.cli.main import load_config, parse_args
+from arec.config import Config, DataConfig, ModelConfig, TrainConfig
+from arec.train.checkpoint import Checkpointer, abstract_like
+from arec.train.step import init_state, make_optimizer
+
+
+def _tiny_state():
+    params = {"tables": {"a": jnp.arange(12.0).reshape(6, 2)},
+              "bias": jnp.ones((3,))}
+    opt = make_optimizer("adagrad", 0.1)
+    return opt, init_state(params, opt)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    opt, state = _tiny_state()
+    ck = Checkpointer(str(tmp_path))
+    ck.save(5, state, {"epoch": 2}, "{}")
+    assert ck.latest_step() == 5
+    got = ck.restore(abstract_like(state))
+    assert got is not None
+    restored, data_pos, cfg_json = got
+    assert data_pos["epoch"] == 2
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_keeps_latest(tmp_path):
+    opt, state = _tiny_state()
+    ck = Checkpointer(str(tmp_path), keep=2)
+    for step in (1, 2, 3, 4):
+        ck.save(step, state._replace(step=jnp.asarray(step, jnp.int32)),
+                {"epoch": 0}, "{}")
+    assert ck.latest_step() == 4
+    restored, _, _ = ck.restore(abstract_like(state))
+    assert int(restored.step) == 4
+
+
+def test_config_json_roundtrip():
+    cfg = Config(
+        data=DataConfig(dataset="ml1m", item_vocab_size=100),
+        model=ModelConfig(model="lstm", dim=48, cell="gru"),
+        train=TrainConfig(loss="warp", num_sampled=99),
+    )
+    back = Config.from_json(cfg.to_json())
+    assert back == cfg
+
+
+def test_config_override_coercion():
+    cfg = Config()
+    out = cfg.override({"train.batch_size": "128", "model.dim": "32",
+                        "data.user_sample": "0.5", "mesh.lookup": "gspmd"})
+    assert out.train.batch_size == 128
+    assert out.model.dim == 32
+    assert abs(out.data.user_sample - 0.5) < 1e-9
+    assert out.mesh.lookup == "gspmd"
+
+
+def test_config_override_bool():
+    out = Config().override({"model.use_attributes": "false"})
+    assert out.model.use_attributes is False
+
+
+def test_cli_parse_and_load(tmp_path):
+    p = tmp_path / "c.json"
+    p.write_text(Config().to_json())
+    args = parse_args(["--config", str(p), "--set", "train.batch_size=32",
+                       "--recommend", "--out", "x.tsv"])
+    cfg = load_config(args)
+    assert cfg.train.batch_size == 32
+    assert args.recommend and args.out == "x.tsv"
