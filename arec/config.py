@@ -67,6 +67,7 @@ class TrainConfig:
     steps_per_checkpoint: int = 200
     loss: str = "ce"            # {ce, warp, bpr, mw, bbpr}; lstm: {ce, mce}
     num_sampled: int = 256      # negatives per step (shared across batch)
+    sampler: str = "log_uniform"  # {log_uniform, uniform} negative sampler
     seed: int = 0
     eval_topk: int = 30         # Recall@30 is the graded metric (BASELINE.json:2)
     train_dir: str = "_train"

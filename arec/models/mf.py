@@ -51,6 +51,7 @@ class MFSpec:
         return MFSpec(
             user=mk(user_schema), item=mk(item_schema),
             loss=cfg.train.loss, num_sampled=cfg.train.num_sampled,
+            sampler=cfg.train.sampler,
             keep_prob=cfg.model.keep_prob,
             compute_dtype=cfg.train.compute_dtype,
         )

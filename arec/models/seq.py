@@ -47,6 +47,8 @@ class SeqSpec:
     sampler: str = "log_uniform"
     keep_prob: float = 1.0
     use_pallas_scan: bool = False
+    tie_output: bool = False    # score against the fused item encoder instead
+                                # of a dedicated output table
     compute_dtype: str = "bfloat16"
 
     @property
@@ -76,8 +78,10 @@ class SeqSpec:
             num_layers=cfg.model.num_layers,
             max_seq_len=cfg.model.max_seq_len,
             num_sampled=cfg.train.num_sampled,
+            sampler=cfg.train.sampler,
             keep_prob=cfg.model.keep_prob,
             use_pallas_scan=cfg.model.use_pallas_scan,
+            tie_output=cfg.model.tie_output,
             compute_dtype=cfg.train.compute_dtype,
         )
 
@@ -104,10 +108,13 @@ def init_seq(key: jax.Array, spec: SeqSpec) -> dict:
         layers.append({"w": w, "b": b})
     params["rnn"] = layers
     # dedicated output table + bias (TF1 sampled_softmax weights analog);
-    # one PAD row so sequence-pad target ids stay in range
+    # one PAD row so sequence-pad target ids stay in range. With
+    # tie_output the fused input encoder doubles as the output embedding
+    # (ref --use_concat-era weight tying) and only the bias remains.
     v = spec.vocab
-    params["item_out"] = (
-        jax.random.normal(keys[-1], (v + 1, d)) / jnp.sqrt(d))
+    if not spec.tie_output:
+        params["item_out"] = (
+            jax.random.normal(keys[-1], (v + 1, d)) / jnp.sqrt(d))
     params["out_bias"] = jnp.zeros((v + 1,))
     return params
 
@@ -233,7 +240,11 @@ def seq_loss(params, spec: SeqSpec, item_dev, user_dev, batch,
     flat_h = h.reshape(b * L, d)
     flat_t = batch["targets"].reshape(b * L)
     flat_w = batch["mask"].reshape(b * L)
-    embed = lambda ids: lookup_fn(params["item_out"], ids)
+    if spec.tie_output:
+        embed = lambda ids: encode(params["item_in"], spec.item_in, item_dev,
+                                   ids, lookup_fn)
+    else:
+        embed = lambda ids: lookup_fn(params["item_out"], ids)
     bias = lambda ids: params["out_bias"][ids]
     return sampled_softmax_loss(
         flat_h, flat_t, embed, bias, r_neg, spec.num_sampled, spec.vocab,
@@ -249,7 +260,11 @@ def seq_final_state(params, spec: SeqSpec, item_dev, user_dev, batch,
     return h[:, -1, :]
 
 
-def seq_item_latents(params, spec: SeqSpec):
+def seq_item_latents(params, spec: SeqSpec, item_dev=None):
     """Output-side item matrix + bias for full-softmax eval / retrieval."""
     v = spec.vocab
+    if spec.tie_output:
+        from arec.tables.engine import encode_all_items
+        return (encode_all_items(params["item_in"], spec.item_in, item_dev),
+                params["out_bias"][:v])
     return params["item_out"][:v], params["out_bias"][:v]

@@ -180,7 +180,8 @@ class Trainer:
 
     def _item_latents(self):
         if self.is_seq:
-            return seq_mod.seq_item_latents(self.state.params, self.spec)
+            return seq_mod.seq_item_latents(self.state.params, self.spec,
+                                            self.item_dev)
         return mf_mod.mf_item_latents(self.state.params, self.spec,
                                       self.item_dev)
 

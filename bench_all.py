@@ -1,0 +1,137 @@
+"""Self-baselining harness (SURVEY.md §6: "run each of the configs, record
+Recall@30 curves and throughput ... treat those as the regression floor").
+
+Measures every graded counter that is measurable on this machine and
+appends a JSON record per metric to BASELINE_RUNS.jsonl:
+  * MF train examples/s/chip (attr-aware, the bench.py flagship)
+  * LSTM train examples/s/chip (Pallas scan)
+  * retrieval queries/s — top-30 MIPS over the item table, seen-masked
+  * end-to-end Recall@30 on the synthetic twins (short runs)
+
+bench.py stays the driver's one-line entry; this is the full harness.
+Usage: python bench_all.py [--quick]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+QUICK = "--quick" in sys.argv
+
+
+def _bench_steps(step, state, ring, rng, warmup, iters):
+    """Returns (elapsed_s, final_state) — the input state is DONATED by the
+    first step call, so callers must use the returned state afterwards."""
+    for i in range(warmup):
+        rng, sub = jax.random.split(rng)
+        state, m = step(state, ring[i % len(ring)], sub)
+    jax.block_until_ready(state.params)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        rng, sub = jax.random.split(rng)
+        state, m = step(state, ring[i % len(ring)], sub)
+    jax.block_until_ready(state.params)
+    return time.perf_counter() - t0, state
+
+
+def _record(out, **rec):
+    rec["t"] = time.time()
+    out.append(rec)
+    print(json.dumps(rec), flush=True)
+
+
+def main():
+    from arec.config import Config, DataConfig, ModelConfig, TrainConfig
+    from arec.data.dataset import mf_batches, seq_batches
+    from arec.data.io import load_or_prepare
+    from arec.models.mf import MFSpec, init_mf, mf_item_latents, mf_loss
+    from arec.models.seq import SeqSpec, init_seq, seq_loss
+    from arec.tables.engine import attrs_to_device
+    from arec.train.evalu import topk_with_mask
+    from arec.train.step import init_state, make_optimizer, make_train_step
+
+    out: list[dict] = []
+    chips = max(jax.local_device_count(), 1)
+    data = DataConfig(dataset="synthetic", data_dir="_data",
+                      syn_users=60000, syn_items=20000,
+                      syn_interactions=600000)
+    ds = load_or_prepare(data)
+    iters = 10 if QUICK else 50
+
+    # ---- MF train throughput --------------------------------------------
+    BATCH = 16384
+    cfg = Config(data=data,
+                 model=ModelConfig(model="mf", dim=64, use_attributes=True),
+                 train=TrainConfig(num_sampled=1024))
+    spec = MFSpec.from_config(cfg, ds.user_schema, ds.item_schema)
+    user_dev = attrs_to_device(ds.user_attrs.restrict(spec.user.schema))
+    item_dev = attrs_to_device(ds.item_attrs.restrict(spec.item.schema))
+    opt = make_optimizer("adagrad", 0.3)
+    params = init_mf(jax.random.key(0), spec)
+    state = init_state(params, opt)
+    step = make_train_step(
+        lambda p, b, r: mf_loss(p, spec, user_dev, item_dev, b, r), opt, 0.3)
+    ring = []
+    for i, b in enumerate(mf_batches(ds, BATCH, 0, 0)):
+        ring.append({k: jnp.asarray(v) for k, v in b.items()})
+        if i >= 7:
+            break
+    dt, state = _bench_steps(step, state, ring, jax.random.key(1), 5, iters)
+    _record(out, metric="mf_train_examples_per_s_per_chip",
+            value=round(BATCH * iters / dt / chips, 1), unit="examples/s/chip",
+            config="attr-aware MF dim64 S1024 batch16384")
+
+    # ---- LSTM train throughput ------------------------------------------
+    SB, L = 2048, 30
+    cfg = Config(data=data,
+                 model=ModelConfig(model="lstm", dim=64, use_attributes=True,
+                                   max_seq_len=L, use_pallas_scan=True),
+                 train=TrainConfig(num_sampled=1024))
+    sspec = SeqSpec.from_config(cfg, ds.user_schema, ds.item_schema)
+    sitem_dev = attrs_to_device(ds.item_attrs.restrict(sspec.item_in.schema))
+    sparams = init_seq(jax.random.key(0), sspec)
+    sstate = init_state(sparams, opt)
+    sstep = make_train_step(
+        lambda p, b, r: seq_loss(p, sspec, sitem_dev, None, b, r), opt, 0.3)
+    sring = []
+    for i, b in enumerate(seq_batches(ds, SB, L, 0, 0)):
+        sring.append({k: jnp.asarray(v) for k, v in b.items()})
+        if i >= 7:
+            break
+    dt, sstate = _bench_steps(sstep, sstate, sring, jax.random.key(2), 5, iters)
+    _record(out, metric="lstm_train_examples_per_s_per_chip",
+            value=round(SB * iters / dt / chips, 1), unit="examples/s/chip",
+            config=f"attr-aware LSTM dim64 L{L} S1024 batch{SB} pallas")
+    _record(out, metric="lstm_train_positions_per_s_per_chip",
+            value=round(SB * L * iters / dt / chips, 1),
+            unit="positions/s/chip", config="same")
+
+    # ---- retrieval QPS ---------------------------------------------------
+    v, bias = mf_item_latents(state.params, spec, item_dev)
+    v, bias = jax.block_until_ready((v, bias))
+    QB = 4096
+    q = jax.random.normal(jax.random.key(3), (QB, spec.user.dim))
+    seen = jnp.asarray(ds.seen_items[:QB])
+    tk = lambda: topk_with_mask(q, v, bias, seen, k=30)
+    jax.block_until_ready(tk())
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = tk()
+    jax.block_until_ready(r)
+    dt = time.perf_counter() - t0
+    _record(out, metric="retrieval_top30_qps",
+            value=round(QB * iters / dt, 1), unit="queries/s",
+            config=f"V={ds.num_items} dim64 batch{QB} seen-masked")
+
+    with open("BASELINE_RUNS.jsonl", "a") as f:
+        for rec in out:
+            f.write(json.dumps(rec) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -94,6 +94,46 @@ def test_sharded_topk_matches_dense(mesh_shape):
                                   np.asarray(want_i)[distinct])
 
 
+@pytest.mark.parametrize("mesh_shape", [(2, 4)])
+def test_sharded_seq_loss_and_grads_match_single_device(setup, mesh_shape):
+    """The LSTM family through the all-to-all lookup (input-side fused item
+    encoder AND the item_out sampled-softmax table are both sharded)."""
+    from arec.config import Config as C, DataConfig as DC, ModelConfig as MC, TrainConfig as TC
+    from arec.models.seq import SeqSpec, init_seq, seq_loss
+    cfg, ds, *_ = setup
+    scfg = C(data=cfg.data,
+             model=MC(model="lstm", dim=16, use_attributes=True,
+                      max_seq_len=6, use_pallas_scan=False),
+             train=TC(batch_size=32, num_sampled=16, compute_dtype="float32"))
+    sspec = SeqSpec.from_config(scfg, ds.user_schema, ds.item_schema)
+    params = init_seq(jax.random.key(0), sspec)
+    item_dev = attrs_to_device(ds.item_attrs.restrict(sspec.item_in.schema))
+    from arec.data.dataset import seq_batches
+    batch = next(iter(seq_batches(ds, 32, 6, 0, 0)))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    mesh = make_mesh(*mesh_shape)
+    lookup = make_sharded_lookup(mesh)
+    params_p = _pad_params_tables(params, mesh_shape[1])
+    rng = jax.random.key(5)
+
+    l0, g0 = jax.value_and_grad(seq_loss)(
+        params, sspec, item_dev, None, batch, rng, dense_lookup)
+    l1, g1 = jax.jit(jax.value_and_grad(
+        lambda p: seq_loss(p, sspec, item_dev, None, batch, rng, lookup)))(
+        params_p)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+    for name, g in g0["item_in"]["tables"].items():
+        np.testing.assert_allclose(
+            np.asarray(g1["item_in"]["tables"][name])[: g.shape[0]],
+            np.asarray(g), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(g1["item_out"])[: g0["item_out"].shape[0]],
+        np.asarray(g0["item_out"]), rtol=1e-4, atol=1e-6)
+    for a, b in zip(g0["rnn"], g1["rnn"]):
+        np.testing.assert_allclose(np.asarray(b["w"]), np.asarray(a["w"]),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def test_trainer_sharded_end_to_end(tmp_path):
     """Trainer on a (2,4) mesh: a few steps run, loss finite and decreasing,
     eval + recommend paths work."""

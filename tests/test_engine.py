@@ -41,10 +41,13 @@ def _schema_and_attrs():
 
 
 def _numpy_oracle(params, spec, attrs, ids):
-    """Straight-line numpy reimplementation of SURVEY.md §3.5."""
+    """Straight-line numpy reimplementation of SURVEY.md §3.5 (the fused
+    table is sliced back into per-field tables by the static offsets)."""
+    fused = np.asarray(params["tables"]["__fused__"])
+    offsets = spec.field_offsets()
     out_attrs = []
     for f in spec.schema.fields:
-        t = np.asarray(params["tables"][f.name])
+        t = fused[offsets[f.name]: offsets[f.name] + f.table_rows]
         embs = np.zeros((len(ids), DIM))
         for r, i in enumerate(ids):
             if i >= spec.schema.num_entities:
@@ -104,7 +107,7 @@ def test_id_only_is_raw_table():
     ids = jnp.asarray([2, 5], jnp.int32)
     out = encode(params, spec, dev, ids)
     np.testing.assert_allclose(
-        np.asarray(out), np.asarray(params["tables"]["item_id"])[[2, 5]],
+        np.asarray(out), np.asarray(params["tables"]["__fused__"])[[2, 5]],
         rtol=1e-6)
 
 
@@ -132,7 +135,8 @@ def test_encode_grads_flow_and_finite():
     g = jax.grad(f)(params)
     flat = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(x)).all() for x in flat)
-    # gradient reaches the looked-up rows of the id table but not others
-    gid = np.asarray(g["tables"]["item_id"])
+    # gradient reaches the looked-up rows of the id sub-table but not others
+    # (the entity-id field is field 0 → offset 0 in the fused table)
+    gid = np.asarray(g["tables"]["__fused__"])
     assert np.abs(gid[[1, 2, 3]]).sum() > 0
     assert np.abs(gid[[0, 6]]).sum() == 0

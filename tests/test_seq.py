@@ -124,7 +124,7 @@ def test_pallas_gradients_match_scan(xm):
 
 
 def _recall_seq(params, spec, item_dev, user_dev, ds):
-    v, b = seq_item_latents(params, spec)
+    v, b = seq_item_latents(params, spec, item_dev)
     hits = total = 0.0
     for batch in eval_batches(ds, 64, max_seq_len=spec.max_seq_len):
         jb = {k: jnp.asarray(x) for k, x in batch.items()}
@@ -178,6 +178,30 @@ def test_seq_end_to_end_learns(cell):
     assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.9
     assert r1 > random_baseline * 0.9, (r1, random_baseline)
     assert r1 > r0 + 0.05, (r0, r1)
+
+
+def test_seq_tie_output_trains_and_evals():
+    cfg = Config(
+        data=DataConfig(syn_users=80, syn_items=60, syn_interactions=1500),
+        model=ModelConfig(model="lstm", dim=16, use_attributes=True,
+                          max_seq_len=6, use_pallas_scan=False,
+                          tie_output=True),
+        train=TrainConfig(batch_size=16, num_sampled=16,
+                          compute_dtype="float32"),
+    )
+    ds = generate(cfg.data)
+    spec = SeqSpec.from_config(cfg, ds.user_schema, ds.item_schema)
+    assert spec.tie_output
+    params = init_seq(jax.random.key(0), spec)
+    assert "item_out" not in params
+    item_dev = attrs_to_device(ds.item_attrs.restrict(spec.item_in.schema))
+    batch = next(iter(seq_batches(ds, 16, 6, 0, 0)))
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    val, grads = jax.value_and_grad(seq_loss)(
+        params, spec, item_dev, None, jb, jax.random.key(1))
+    assert np.isfinite(float(val))
+    v, b = seq_item_latents(params, spec, item_dev)
+    assert v.shape == (ds.num_items, 16)
 
 
 def test_seq_attribute_path_one_step():
