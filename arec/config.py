@@ -51,6 +51,8 @@ class ModelConfig:
     use_pallas_scan: bool = True  # Pallas fused-gate scan vs lax.scan reference
     concat_user: bool = False   # prepend/add user embedding to each seq input
     tie_output: bool = False    # reuse fused item encoder as the output table
+    dense_vocab_threshold: int = 512  # fields with vocab ≤ this use the
+                                # multihot-matmul (MXU) lookup fast path
 
 
 @dataclass(frozen=True)

@@ -46,8 +46,9 @@ class MFSpec:
         if not cfg.model.use_attributes:
             user_schema = user_schema.id_only()
             item_schema = item_schema.id_only()
-        mk = lambda s: EncoderSpec(s, cfg.model.dim, cfg.model.fusion,
-                                   cfg.model.nonlinear)
+        mk = lambda s: EncoderSpec(
+            s, cfg.model.dim, cfg.model.fusion, cfg.model.nonlinear,
+            dense_mulhot_threshold=cfg.model.dense_vocab_threshold)
         return MFSpec(
             user=mk(user_schema), item=mk(item_schema),
             loss=cfg.train.loss, num_sampled=cfg.train.num_sampled,

@@ -69,8 +69,9 @@ class SeqSpec:
         if not cfg.model.use_attributes:
             item_schema = item_schema.id_only()
             user_schema = user_schema.id_only()
-        mk = lambda s: EncoderSpec(s, cfg.model.dim, cfg.model.fusion,
-                                   cfg.model.nonlinear)
+        mk = lambda s: EncoderSpec(
+            s, cfg.model.dim, cfg.model.fusion, cfg.model.nonlinear,
+            dense_mulhot_threshold=cfg.model.dense_vocab_threshold)
         return SeqSpec(
             item_in=mk(item_schema),
             user=mk(user_schema) if cfg.model.concat_user else None,

@@ -83,18 +83,22 @@ class Trainer:
                 cfg, self.ds.user_schema, self.ds.item_schema)
             params = seq_mod.init_seq(key, self.spec)
             self.item_dev = attrs_to_device(
-                self.ds.item_attrs.restrict(self.spec.item_in.schema))
+                self.ds.item_attrs.restrict(self.spec.item_in.schema),
+                self.spec.item_in)
             self.user_dev = (attrs_to_device(
-                self.ds.user_attrs.restrict(self.spec.user.schema))
+                self.ds.user_attrs.restrict(self.spec.user.schema),
+                self.spec.user)
                 if self.spec.user is not None else None)
         else:
             self.spec = mf_mod.MFSpec.from_config(
                 cfg, self.ds.user_schema, self.ds.item_schema)
             params = mf_mod.init_mf(key, self.spec)
             self.item_dev = attrs_to_device(
-                self.ds.item_attrs.restrict(self.spec.item.schema))
+                self.ds.item_attrs.restrict(self.spec.item.schema),
+                self.spec.item)
             self.user_dev = attrs_to_device(
-                self.ds.user_attrs.restrict(self.spec.user.schema))
+                self.ds.user_attrs.restrict(self.spec.user.schema),
+                self.spec.user)
 
         if self.use_mesh:
             params = _pad_params_tables(params, mcfg.model)
@@ -242,12 +246,13 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _maybe_restore(self):
+        if self.ckpt.latest_step() is None:
+            return
+        # a checkpoint exists: restore MUST succeed — silently training a
+        # fresh model on top of a populated train_dir corrupts the run
         target = abstract_like(
             self.state, self.state_sh if self.use_mesh else None)
-        try:
-            got = self.ckpt.restore(target)
-        except Exception:
-            got = None
+        got = self.ckpt.restore(target)
         if got is not None:
             self.state, data_pos, _ = got
             self.start_epoch = int(data_pos.get("epoch", 0))

@@ -49,8 +49,8 @@ def main() -> None:
     ds = load_or_prepare(cfg.data)
     spec = MFSpec.from_config(cfg, ds.user_schema, ds.item_schema)
     params = init_mf(jax.random.key(0), spec)
-    user_dev = attrs_to_device(ds.user_attrs.restrict(spec.user.schema))
-    item_dev = attrs_to_device(ds.item_attrs.restrict(spec.item.schema))
+    user_dev = attrs_to_device(ds.user_attrs.restrict(spec.user.schema), spec.user)
+    item_dev = attrs_to_device(ds.item_attrs.restrict(spec.item.schema), spec.item)
 
     opt = make_optimizer("adagrad", cfg.train.learning_rate)
     state = init_state(params, opt)

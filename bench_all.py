@@ -69,8 +69,8 @@ def main():
                  model=ModelConfig(model="mf", dim=64, use_attributes=True),
                  train=TrainConfig(num_sampled=1024))
     spec = MFSpec.from_config(cfg, ds.user_schema, ds.item_schema)
-    user_dev = attrs_to_device(ds.user_attrs.restrict(spec.user.schema))
-    item_dev = attrs_to_device(ds.item_attrs.restrict(spec.item.schema))
+    user_dev = attrs_to_device(ds.user_attrs.restrict(spec.user.schema), spec.user)
+    item_dev = attrs_to_device(ds.item_attrs.restrict(spec.item.schema), spec.item)
     opt = make_optimizer("adagrad", 0.3)
     params = init_mf(jax.random.key(0), spec)
     state = init_state(params, opt)
@@ -93,7 +93,7 @@ def main():
                                    max_seq_len=L, use_pallas_scan=True),
                  train=TrainConfig(num_sampled=1024))
     sspec = SeqSpec.from_config(cfg, ds.user_schema, ds.item_schema)
-    sitem_dev = attrs_to_device(ds.item_attrs.restrict(sspec.item_in.schema))
+    sitem_dev = attrs_to_device(ds.item_attrs.restrict(sspec.item_in.schema), sspec.item_in)
     sparams = init_seq(jax.random.key(0), sspec)
     sstate = init_state(sparams, opt)
     sstep = make_train_step(

@@ -134,9 +134,11 @@ def test_sharded_seq_loss_and_grads_match_single_device(setup, mesh_shape):
                                    rtol=1e-4, atol=1e-6)
 
 
-def test_trainer_sharded_end_to_end(tmp_path):
+@pytest.mark.parametrize("lookup", ["alltoall", "gspmd"])
+def test_trainer_sharded_end_to_end(tmp_path, lookup):
     """Trainer on a (2,4) mesh: a few steps run, loss finite and decreasing,
-    eval + recommend paths work."""
+    eval + recommend paths work — for both the explicit all-to-all exchange
+    and the GSPMD (XLA-chosen collectives) lookup backends."""
     cfg = Config(
         data=DataConfig(syn_users=150, syn_items=120, syn_interactions=3000,
                         data_dir=str(tmp_path / "data")),
@@ -145,7 +147,7 @@ def test_trainer_sharded_end_to_end(tmp_path):
                           steps_per_checkpoint=10_000,
                           compute_dtype="float32",
                           train_dir=str(tmp_path / "train")),
-        mesh=MeshConfig(data=2, model=4, lookup="alltoall"),
+        mesh=MeshConfig(data=2, model=4, lookup=lookup),
     )
     trainer = Trainer(cfg)
     summary = trainer.train()

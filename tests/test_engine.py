@@ -140,3 +140,26 @@ def test_encode_grads_flow_and_finite():
     gid = np.asarray(g["tables"]["__fused__"])
     assert np.abs(gid[[1, 2, 3]]).sum() > 0
     assert np.abs(gid[[0, 6]]).sum() == 0
+
+
+def test_dense_and_gather_mulhot_paths_agree():
+    """The dense multihot-matmul fast path must be numerically equivalent to
+    the gather + mask-mean path (threshold toggles which one runs)."""
+    schema, attrs = _schema_and_attrs()
+    dense_spec = EncoderSpec(schema, DIM, dense_mulhot_threshold=512)
+    gather_spec = EncoderSpec(schema, DIM, dense_mulhot_threshold=0)
+    params = init_encoder(jax.random.key(7), dense_spec)
+    ids = jnp.asarray([0, 4, 9, N], jnp.int32)
+    out_d = encode(params, dense_spec, attrs_to_device(attrs, dense_spec), ids)
+    out_g = encode(params, gather_spec, attrs_to_device(attrs, gather_spec), ids)
+    np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_g),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss(p, spec, dev):
+        return (encode(p, spec, dev, ids) ** 2).sum()
+
+    g_d = jax.grad(loss)(params, dense_spec, attrs_to_device(attrs, dense_spec))
+    g_g = jax.grad(loss)(params, gather_spec, attrs_to_device(attrs, gather_spec))
+    np.testing.assert_allclose(np.asarray(g_d["tables"]["__fused__"]),
+                               np.asarray(g_g["tables"]["__fused__"]),
+                               rtol=1e-5, atol=1e-6)
