@@ -75,6 +75,8 @@ class TrainConfig:
     train_dir: str = "_train"
     max_steps: int = 0          # 0 = unlimited (epoch-bounded); else hard cap
     compute_dtype: str = "bfloat16"  # matmul input dtype; params stay fp32
+    sparse_update: bool = False # touched-rows-only table updates (big-vocab
+                                # fast path; single-device, adagrad/sgd)
 
 
 @dataclass(frozen=True)

@@ -60,11 +60,14 @@ def sampled_softmax_loss(
     remove_accidental_hits: bool = True,
     weights: jnp.ndarray | None = None,   # [N] position mask (LSTM "mce")
     compute_dtype=jnp.bfloat16,
+    sampled: tuple | None = None,  # pre-drawn (ids, p) — lets the sparse
+                                   # train step know the candidate set upfront
 ) -> jnp.ndarray:
     """TF1 `tf.nn.sampled_softmax_loss` semantics, rebuilt:
     S shared negatives per step, −log(S·P) logit correction, accidental-hit
     masking, CE with the true class prepended as class 0."""
-    sampled_ids, p = draw(rng, num_sampled, vocab, dist)
+    sampled_ids, p = sampled if sampled is not None else draw(
+        rng, num_sampled, vocab, dist)
 
     v_true = embed(true_ids)                       # [N, D]
     v_samp = embed(sampled_ids)                    # [S, D]

@@ -79,13 +79,18 @@ def mf_loss(
     batch: dict,
     rng: jax.Array,
     lookup_fn=dense_lookup,
+    lookup_fns: dict | None = None,   # per-role override: {"user","item"}
+    sampled: tuple | None = None,     # pre-drawn (neg_ids, neg_p) — sparse step
 ) -> jnp.ndarray:
     """One training step's loss for a (user, positive-item) batch
     (SURVEY.md §3.1: u = fuse(user attrs); loss over sampled candidates)."""
+    lk = lookup_fns or {}
     r_drop, r_neg = jax.random.split(rng)
     u = encode(params["user"], spec.user, user_dev, batch["user"],
-               lookup_fn, dropout_rng=r_drop, keep_prob=spec.keep_prob)
-    embed = lambda ids: encode(params["item"], spec.item, item_dev, ids, lookup_fn)
+               lk.get("user", lookup_fn),
+               dropout_rng=r_drop, keep_prob=spec.keep_prob)
+    embed = lambda ids: encode(params["item"], spec.item, item_dev, ids,
+                               lk.get("item", lookup_fn))
     bias = lambda ids: params["item_bias"][ids]
     pos = batch["pos_item"]
     vocab = spec.item.schema.num_entities
@@ -93,7 +98,7 @@ def mf_loss(
     if spec.loss == "ce":
         return sampled_softmax_loss(
             u, pos, embed, bias, r_neg, spec.num_sampled, vocab,
-            dist=spec.sampler, compute_dtype=spec.dtype)
+            dist=spec.sampler, compute_dtype=spec.dtype, sampled=sampled)
     if spec.loss == "warp":
         return warp_loss(u, pos, embed, bias, r_neg, spec.num_sampled, vocab,
                          compute_dtype=spec.dtype)

@@ -208,48 +208,60 @@ def rnn_scan(layers: list[dict], cell: str, x: jnp.ndarray,
 # --------------------------------------------------------------------------
 
 def seq_inputs(params, spec: SeqSpec, item_dev, user_dev, batch,
-               lookup_fn=dense_lookup, dropout_rng=None) -> jnp.ndarray:
+               lookup_fn=dense_lookup, dropout_rng=None,
+               lookup_fns: dict | None = None) -> jnp.ndarray:
     """Fused per-step input embeddings [B, L, D] (SURVEY.md §3.2:
     input_t = fuse(item-attr lookups at position t))."""
+    lk = lookup_fns or {}
     x = encode(params["item_in"], spec.item_in, item_dev, batch["inputs"],
-               lookup_fn, dropout_rng=dropout_rng, keep_prob=spec.keep_prob)
+               lk.get("item", lookup_fn),
+               dropout_rng=dropout_rng, keep_prob=spec.keep_prob)
     if spec.user is not None:
-        u = encode(params["user"], spec.user, user_dev, batch["user"], lookup_fn)
+        u = encode(params["user"], spec.user, user_dev, batch["user"],
+                   lk.get("user", lookup_fn))
         x = x + u[:, None, :]
     return x
 
 
 def seq_hidden(params, spec: SeqSpec, item_dev, user_dev, batch,
-               lookup_fn=dense_lookup, dropout_rng=None) -> jnp.ndarray:
+               lookup_fn=dense_lookup, dropout_rng=None,
+               lookup_fns: dict | None = None) -> jnp.ndarray:
     x = seq_inputs(params, spec, item_dev, user_dev, batch, lookup_fn,
-                   dropout_rng)
+                   dropout_rng, lookup_fns)
     mask = batch["mask"]
     if spec.use_pallas_scan and spec.cell == "lstm":
         from arec.kernels.lstm_scan import pallas_lstm_scan
         return pallas_lstm_scan(params["rnn"], x, mask, dtype=spec.dtype)
+    if spec.use_pallas_scan and spec.cell == "gru":
+        from arec.kernels.gru_scan import pallas_gru_scan
+        return pallas_gru_scan(params["rnn"], x, mask, dtype=spec.dtype)
     return rnn_scan(params["rnn"], spec.cell, x, mask, spec.dtype)
 
 
 def seq_loss(params, spec: SeqSpec, item_dev, user_dev, batch,
-             rng: jax.Array, lookup_fn=dense_lookup) -> jnp.ndarray:
+             rng: jax.Array, lookup_fn=dense_lookup,
+             lookup_fns: dict | None = None,
+             sampled: tuple | None = None) -> jnp.ndarray:
     """Sampled-softmax CE over all valid positions (ref losses ce/mce both
     train every position; SURVEY.md §3.2)."""
+    lk = lookup_fns or {}
     r_drop, r_neg = jax.random.split(rng)
     h = seq_hidden(params, spec, item_dev, user_dev, batch, lookup_fn,
-                   dropout_rng=r_drop)
+                   dropout_rng=r_drop, lookup_fns=lookup_fns)
     b, L, d = h.shape
     flat_h = h.reshape(b * L, d)
     flat_t = batch["targets"].reshape(b * L)
     flat_w = batch["mask"].reshape(b * L)
     if spec.tie_output:
         embed = lambda ids: encode(params["item_in"], spec.item_in, item_dev,
-                                   ids, lookup_fn)
+                                   ids, lk.get("item", lookup_fn))
     else:
-        embed = lambda ids: lookup_fn(params["item_out"], ids)
+        embed = lambda ids: lk.get("out", lookup_fn)(params["item_out"], ids)
     bias = lambda ids: params["out_bias"][ids]
     return sampled_softmax_loss(
         flat_h, flat_t, embed, bias, r_neg, spec.num_sampled, spec.vocab,
-        dist=spec.sampler, weights=flat_w, compute_dtype=spec.dtype)
+        dist=spec.sampler, weights=flat_w, compute_dtype=spec.dtype,
+        sampled=sampled)
 
 
 def seq_final_state(params, spec: SeqSpec, item_dev, user_dev, batch,

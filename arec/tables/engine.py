@@ -79,10 +79,27 @@ class EncoderSpec:
         )
 
     # ---- fused-table layout (static) -------------------------------------
+    # Dense (small-vocab) fields occupy a contiguous PREFIX of the fused
+    # table, gather fields the tail. This makes the sparse-update path
+    # (arec/train/sparse.py) trivial: the prefix is updated densely (it is
+    # small and touched every step), and only the batch's unique gather rows
+    # are touched in the tail — per-step optimizer cost O(touched·D), not
+    # O(vocab·D).
+    @property
+    def layout_fields(self):
+        """Schema fields in fused-table layout order (dense prefix first)."""
+        return self.dense_fields + [
+            f for f in self.schema.fields if not self._is_dense(f)]
+
+    @property
+    def dense_region_rows(self) -> int:
+        """Rows of the dense prefix (0 when no field is dense)."""
+        return sum(f.table_rows for f in self.dense_fields)
+
     def field_offsets(self) -> dict[str, int]:
         """Row offset of each field's sub-table inside the fused table."""
         off, out = 0, {}
-        for f in self.schema.fields:
+        for f in self.layout_fields:
             out[f.name] = off
             off += f.table_rows
         return out
@@ -271,6 +288,76 @@ def encode(
     valid = (flat < spec.schema.num_entities).astype(latent.dtype)[:, None]
     latent = latent * valid
     return latent.reshape(*batch_shape, spec.dim)
+
+
+# ---------------------------------------------------------------------------
+# Sparse-update support (arec/train/sparse.py): work on a SUBSET table
+# [dense prefix ++ the step's unique gather rows] so gradients and optimizer
+# traffic are O(touched rows), not O(vocab). The fused layout puts dense
+# fields in a prefix (EncoderSpec.layout_fields), so encode's dense fast
+# path (static slices) works on the subset unchanged.
+# ---------------------------------------------------------------------------
+
+def gather_row_ids(spec: EncoderSpec, attr_dev: dict, ids: jnp.ndarray
+                   ) -> jnp.ndarray:
+    """Every fused-table row id the GATHER path touches for entity `ids`
+    (invalid mulhot slots request row 0, exactly as encode does)."""
+    flat = ids.reshape(-1)
+    parts = []
+    if spec.gather_cat_fields:
+        parts.append(attr_dev["cat"][flat].reshape(-1))
+    if spec.gather_mulhot_fields:
+        m = attr_dev["mul"][flat].reshape(-1)
+        parts.append(jnp.where(m >= 0, m, 0))
+    if not parts:
+        return jnp.zeros((0,), jnp.int32)
+    return jnp.concatenate(parts)
+
+
+def unique_rows(ids: jnp.ndarray, sentinel: int) -> jnp.ndarray:
+    """Sorted-unique with static shape: duplicates become `sentinel`
+    (pass total_rows — OOB, so scatters drop and gathers zero-fill)."""
+    if ids.shape[0] == 0:
+        return ids
+    s = jnp.sort(ids)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), s[1:] != s[:-1]])
+    return jnp.sort(jnp.where(first, s, sentinel))
+
+
+def build_subset(table: jnp.ndarray, uids: jnp.ndarray, prefix_rows: int
+                 ) -> jnp.ndarray:
+    """[prefix ++ table[uids]] — the differentiable sub-table. OOB sentinel
+    uids produce zero rows (never addressed by lookups). Degenerate cases
+    (no gather fields / no dense prefix) skip the empty op entirely."""
+    if uids.shape[0] == 0:
+        return table[:prefix_rows]
+    tail = table.at[uids].get(mode="fill", fill_value=0,
+                              unique_indices=True, indices_are_sorted=True)
+    if prefix_rows == 0:
+        return tail
+    return jnp.concatenate([table[:prefix_rows], tail], axis=0)
+
+
+def subset_pos_map(uids: jnp.ndarray, total_rows: int,
+                   prefix_rows: int) -> jnp.ndarray:
+    """Dense id→subset-position map [total_rows] int32. One 4-byte-per-row
+    pass — 64×+ cheaper than any table-width pass, and it turns every
+    subsequent lookup into a single O(1) gather instead of a binary search
+    (searchsorted cost ~2.7 ms/step at batch 16k, measured)."""
+    base = jnp.arange(total_rows, dtype=jnp.int32)
+    pos = jnp.where(base < prefix_rows, base, 0)
+    slots = prefix_rows + jnp.arange(uids.shape[0], dtype=jnp.int32)
+    return pos.at[uids].set(slots, mode="drop",
+                            unique_indices=True, indices_are_sorted=True)
+
+
+def make_subset_lookup(pos_map: jnp.ndarray, prefix_rows: int) -> LookupFn:
+    """LookupFn over the subset table via the dense position map."""
+    def lookup(sub: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+        return sub[pos_map[ids.reshape(-1)]].reshape(
+            *ids.shape, sub.shape[1])
+    return lookup
 
 
 def encode_all_items(

@@ -107,17 +107,29 @@ class Trainer:
 
         # ---- optimizer + step ----------------------------------------
         self.opt = make_optimizer(cfg.train.optimizer, cfg.train.learning_rate)
-        self.state = init_state(params, self.opt)
-        if self.use_mesh:
-            self.state_sh = self._state_shardings(params)
-            self.state = jax.device_put(self.state, self.state_sh)
-
-        loss_fn = self._loss_fn()
-        if self.use_mesh:
-            self.step_fn = self._make_sharded_step(loss_fn)
+        self.sparse = cfg.train.sparse_update and not self.use_mesh
+        if self.sparse:
+            from arec.train.sparse import (
+                init_sparse_state, make_sparse_train_step, table_paths,
+            )
+            self.state = init_sparse_state(
+                params, table_paths(self.is_seq, self.spec), self.opt,
+                cfg.train.optimizer)
+            self.step_fn = make_sparse_train_step(
+                self.is_seq, self.spec, self.user_dev, self.item_dev,
+                self.opt, cfg.train.learning_rate, cfg.train.optimizer)
         else:
-            self.step_fn = make_train_step(loss_fn, self.opt,
-                                           cfg.train.learning_rate)
+            self.state = init_state(params, self.opt)
+            if self.use_mesh:
+                self.state_sh = self._state_shardings(params)
+                self.state = jax.device_put(self.state, self.state_sh)
+
+            loss_fn = self._loss_fn()
+            if self.use_mesh:
+                self.step_fn = self._make_sharded_step(loss_fn)
+            else:
+                self.step_fn = make_train_step(loss_fn, self.opt,
+                                               cfg.train.learning_rate)
 
         self.ckpt = Checkpointer(cfg.train.train_dir)
         self.metrics = MetricLogger(cfg.train.train_dir)
@@ -182,20 +194,28 @@ class Trainer:
         return mf_batches(self.ds, t.batch_size, t.seed, epoch,
                           self.host_id, self.num_hosts)
 
+    def _eval_params(self):
+        """Plain param tree for eval paths (sparse Adagrad stores tables
+        packed [V, 2D] — see arec/train/sparse.py)."""
+        if self.sparse and self.cfg.train.optimizer == "adagrad":
+            from arec.train.sparse import table_paths, unpack_params
+            return unpack_params(self.state.params,
+                                 table_paths(self.is_seq, self.spec))
+        return self.state.params
+
     def _item_latents(self):
+        params = self._eval_params()
         if self.is_seq:
-            return seq_mod.seq_item_latents(self.state.params, self.spec,
-                                            self.item_dev)
-        return mf_mod.mf_item_latents(self.state.params, self.spec,
-                                      self.item_dev)
+            return seq_mod.seq_item_latents(params, self.spec, self.item_dev)
+        return mf_mod.mf_item_latents(params, self.spec, self.item_dev)
 
     def _queries(self, batch):
+        params = self._eval_params()
         if self.is_seq:
             return seq_mod.seq_final_state(
-                self.state.params, self.spec, self.item_dev, self.user_dev,
-                batch)
+                params, self.spec, self.item_dev, self.user_dev, batch)
         return mf_mod.mf_user_latents(
-            self.state.params, self.spec, self.user_dev, batch["user"])
+            params, self.spec, self.user_dev, batch["user"])
 
     def evaluate(self, k: int | None = None) -> float:
         """Valid Recall@K with seen-item masking (SURVEY.md §3.3)."""

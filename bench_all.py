@@ -111,6 +111,51 @@ def main():
             value=round(SB * L * iters / dt / chips, 1),
             unit="positions/s/chip", config="same")
 
+    # ---- sparse vs dense table updates at production vocab scale ---------
+    # (arec/train/sparse.py: O(touched rows) optimizer traffic; the win
+    # grows with vocab — this is the XING-scale regime the dense step
+    # cannot reach efficiently)
+    import numpy as np
+    from arec.data.schema import AttributeData, EntitySchema
+    from arec.tables.engine import EncoderSpec
+    from arec.train.sparse import (
+        init_sparse_state, make_sparse_train_step, table_paths,
+    )
+    NU, NI = 1_000_000, 300_000
+    us = EntitySchema("user", NU, (EntitySchema.id_field("user", NU),))
+    its = EntitySchema("item", NI, (EntitySchema.id_field("item", NI),))
+    ua = AttributeData(us, AttributeData.id_identity(us))
+    ia = AttributeData(its, AttributeData.id_identity(its))
+    bspec = MFSpec(user=EncoderSpec(us, 64), item=EncoderSpec(its, 64),
+                   num_sampled=1024)
+    budev = attrs_to_device(ua, bspec.user)
+    bidev = attrs_to_device(ia, bspec.item)
+    rng_np = np.random.default_rng(0)
+    bring = [{"user": jnp.asarray(
+                  rng_np.integers(0, NU, BATCH).astype(np.int32)),
+              "pos_item": jnp.asarray(
+                  rng_np.integers(0, NI, BATCH).astype(np.int32))}
+             for _ in range(4)]
+    for mode in ("dense", "sparse"):
+        bparams = init_mf(jax.random.key(0), bspec)
+        if mode == "dense":
+            bstate = init_state(bparams, opt)
+            bstep = make_train_step(
+                lambda p, b, r: mf_loss(p, bspec, budev, bidev, b, r),
+                opt, 0.3)
+        else:
+            bstate = init_sparse_state(
+                bparams, table_paths(False, bspec), opt, "adagrad")
+            bstep = make_sparse_train_step(
+                False, bspec, budev, bidev, opt, 0.3, "adagrad")
+        dt, bstate = _bench_steps(bstep, bstate, bring, jax.random.key(4),
+                                  5, iters)
+        _record(out, metric=f"mf_bigvocab_{mode}_examples_per_s_per_chip",
+                value=round(BATCH * iters / dt / chips, 1),
+                unit="examples/s/chip",
+                config=f"ID-only MF U={NU} V={NI} dim64 S1024 batch{BATCH}")
+        del bstate, bstep, bparams
+
     # ---- retrieval QPS ---------------------------------------------------
     v, bias = mf_item_latents(state.params, spec, item_dev)
     v, bias = jax.block_until_ready((v, bias))

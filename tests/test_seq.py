@@ -123,6 +123,38 @@ def test_pallas_gradients_match_scan(xm):
                                rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.parametrize("layers", [1, 2])
+def test_pallas_gru_forward_matches_scan(xm, layers):
+    from arec.kernels.gru_scan import pallas_gru_scan
+    x, mask = xm
+    ps = [_layer(jax.random.key(20 + i), D, "gru") for i in range(layers)]
+    ref = rnn_scan(ps, "gru", x, mask, jnp.float32)
+    got = pallas_gru_scan(ps, x, mask, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_gru_gradients_match_scan(xm):
+    from arec.kernels.gru_scan import pallas_gru_scan
+    x, mask = xm
+    p = _layer(jax.random.key(21), D, "gru")
+
+    def loss_ref(p, x):
+        return (rnn_scan([p], "gru", x, mask, jnp.float32) ** 2).sum()
+
+    def loss_pl(p, x):
+        return (pallas_gru_scan([p], x, mask, dtype=jnp.float32) ** 2).sum()
+
+    (gp_ref, gx_ref) = jax.grad(loss_ref, argnums=(0, 1))(p, x)
+    (gp_pl, gx_pl) = jax.grad(loss_pl, argnums=(0, 1))(p, x)
+    np.testing.assert_allclose(np.asarray(gx_pl), np.asarray(gx_ref),
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gp_pl["w"]), np.asarray(gp_ref["w"]),
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gp_pl["b"]), np.asarray(gp_ref["b"]),
+                               rtol=2e-3, atol=2e-4)
+
+
 def _recall_seq(params, spec, item_dev, user_dev, ds):
     v, b = seq_item_latents(params, spec, item_dev)
     hits = total = 0.0
