@@ -315,14 +315,20 @@ def gather_row_ids(spec: EncoderSpec, attr_dev: dict, ids: jnp.ndarray
 
 
 def unique_rows(ids: jnp.ndarray, sentinel: int) -> jnp.ndarray:
-    """Sorted-unique with static shape: duplicates become `sentinel`
-    (pass total_rows — OOB, so scatters drop and gathers zero-fill)."""
+    """Sorted-unique with static shape: trailing slots become `sentinel`
+    (pass total_rows — OOB, so scatters drop and gathers zero-fill).
+
+    One sort + a cumsum compaction (no second sort: every duplicate
+    occurrence writes the SAME value to the same slot, so the compaction
+    scatter is order-independent)."""
     if ids.shape[0] == 0:
         return ids
     s = jnp.sort(ids)
     first = jnp.concatenate(
         [jnp.ones((1,), bool), s[1:] != s[:-1]])
-    return jnp.sort(jnp.where(first, s, sentinel))
+    slot = jnp.cumsum(first) - 1                  # unique-group index
+    out = jnp.full_like(s, sentinel)
+    return out.at[slot].set(s)
 
 
 def build_subset(table: jnp.ndarray, uids: jnp.ndarray, prefix_rows: int

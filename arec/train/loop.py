@@ -276,14 +276,23 @@ class Trainer:
         if got is not None:
             self.state, data_pos, _ = got
             self.start_epoch = int(data_pos.get("epoch", 0))
+            self.start_step_in_epoch = int(data_pos.get("step_in_epoch", 0))
             print(f"[ckpt] restored step {int(self.state.step)} "
-                  f"(epoch {self.start_epoch})", flush=True)
+                  f"(epoch {self.start_epoch}"
+                  f"+{self.start_step_in_epoch} steps)", flush=True)
 
     def train(self) -> dict:
         """Epoch loop with periodic checkpoint + eval + plateau LR decay
-        (SURVEY.md §3.1). Returns the final metrics summary."""
+        (SURVEY.md §3.1). Returns the final metrics summary.
+
+        Restart-from-checkpoint is EXACT (SURVEY.md §5 "Failure
+        detection"): the per-step rng is a pure function of the global step
+        (fold_in, not a sequential split chain), the input pipeline is
+        deterministically keyed on (seed, epoch), and the checkpoint
+        records step-in-epoch so the iterator fast-forwards past consumed
+        batches instead of replaying them."""
         t = self.cfg.train
-        rng = jax.random.key(t.seed + 777)
+        base_rng = jax.random.key(t.seed + 777)
         best_recall, prev_loss = 0.0, float("inf")
         window, steps_done = [], int(self.state.step)
         ex_since, t_since = 0, time.time()
@@ -291,16 +300,25 @@ class Trainer:
         from arec.train.profile import StepProfiler
         profiler = StepProfiler()
         stop = False
+        skip = getattr(self, "start_step_in_epoch", 0)
         for epoch in range(self.start_epoch, t.n_epoch):
+            batches = self._batches(epoch)
+            step_in_epoch = 0
+            if skip:
+                import itertools
+                batches = itertools.islice(batches, skip, None)
+                step_in_epoch = skip
+                skip = 0
             # native-packed batches staged to device a step ahead of compute
-            for jb in prefetch(self._batches(epoch), depth=2,
+            for jb in prefetch(batches, depth=2,
                                transform=to_device()):
-                rng, sub = jax.random.split(rng)
+                sub = jax.random.fold_in(base_rng, steps_done)
                 profiler.on_step(steps_done)
                 self.state, m = self.step_fn(self.state, jb, sub)
                 window.append(m["loss"])
                 ex_since += t.batch_size
                 steps_done += 1
+                step_in_epoch += 1
                 if steps_done % t.steps_per_checkpoint == 0:
                     jax.block_until_ready(self.state.params)
                     dt = time.time() - t_since
@@ -319,7 +337,8 @@ class Trainer:
                     prev_loss = loss
                     window, ex_since, t_since = [], 0, time.time()
                     self.ckpt.save(steps_done, self.state,
-                                   {"epoch": epoch},
+                                   {"epoch": epoch,
+                                    "step_in_epoch": step_in_epoch},
                                    self.cfg.to_json())
                 if t.max_steps and steps_done >= t.max_steps:
                     stop = True

@@ -76,3 +76,39 @@ def test_cli_parse_and_load(tmp_path):
     cfg = load_config(args)
     assert cfg.train.batch_size == 32
     assert args.recommend and args.out == "x.tsv"
+
+
+def test_resume_is_exact(tmp_path):
+    """A run interrupted at a checkpoint and resumed must produce exactly
+    the same parameters as an uninterrupted run: per-step rng is a pure
+    function of the global step, and the checkpoint's step-in-epoch
+    fast-forwards the deterministic iterator (SURVEY.md §5)."""
+    from arec.train.loop import Trainer
+
+    def cfg(train_dir, max_steps):
+        return Config(
+            data=DataConfig(syn_users=120, syn_items=90,
+                            syn_interactions=2400,
+                            data_dir=str(tmp_path / "data")),
+            model=ModelConfig(model="mf", dim=8),
+            train=TrainConfig(batch_size=32, n_epoch=2, max_steps=max_steps,
+                              steps_per_checkpoint=25,
+                              compute_dtype="float32",
+                              train_dir=str(train_dir)),
+        )
+
+    # uninterrupted: 60 steps (crosses an epoch boundary at 2400/32=75/epoch)
+    t_full = Trainer(cfg(tmp_path / "full", 60))
+    t_full.train()
+
+    # interrupted at the step-50 checkpoint, then resumed to 60
+    t_a = Trainer(cfg(tmp_path / "resume", 50))
+    t_a.train()
+    t_b = Trainer(cfg(tmp_path / "resume", 60))
+    assert int(t_b.state.step) == 50  # restored mid-epoch
+    t_b.train()
+
+    for pf, pr in zip(jax.tree_util.tree_leaves(t_full.state.params),
+                      jax.tree_util.tree_leaves(t_b.state.params)):
+        np.testing.assert_allclose(np.asarray(pf), np.asarray(pr),
+                                   rtol=1e-6, atol=1e-7)
