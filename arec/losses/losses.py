@@ -62,6 +62,14 @@ def sampled_softmax_loss(
     compute_dtype=jnp.bfloat16,
     sampled: tuple | None = None,  # pre-drawn (ids, p) — lets the sparse
                                    # train step know the candidate set upfront
+    use_kernel: bool | None = None,  # None = default off: XLA's own fusion
+                                   # of this chain measured FASTER on TPU
+                                   # (MF 16k batch: 6.2M vs 3.2M ex/s/chip)
+                                   # than the hand-tiled Pallas kernel at
+                                   # S=1024; the kernel remains available
+                                   # (arec/kernels/sampled_softmax.py) for
+                                   # much larger candidate sets where the
+                                   # [N, S] logit materialization dominates
 ) -> jnp.ndarray:
     """TF1 `tf.nn.sampled_softmax_loss` semantics, rebuilt:
     S shared negatives per step, −log(S·P) logit correction, accidental-hit
@@ -71,18 +79,31 @@ def sampled_softmax_loss(
 
     v_true = embed(true_ids)                       # [N, D]
     v_samp = embed(sampled_ids)                    # [S, D]
-    true_logit = _rowdot(query, v_true) + bias(true_ids)
-    true_logit = true_logit - jnp.log(num_sampled * _p_of(true_ids, p, sampled_ids, vocab, dist))
 
-    samp_logits = _matmul(query, v_samp, compute_dtype) + bias(sampled_ids)[None, :]
-    samp_logits = samp_logits - jnp.log(num_sampled * p)[None, :]
+    if use_kernel is None:
+        use_kernel = False
+    if use_kernel and remove_accidental_hits:
+        from arec.kernels.sampled_softmax import fused_sampled_ce
+        c_samp = bias(sampled_ids) - jnp.log(num_sampled * p)
+        tl_base = bias(true_ids) - jnp.log(
+            num_sampled * _p_of(true_ids, p, sampled_ids, vocab, dist))
+        ce = fused_sampled_ce(query, v_true, v_samp, c_samp, tl_base,
+                              true_ids, sampled_ids, 256, compute_dtype)
+    else:
+        true_logit = _rowdot(query, v_true) + bias(true_ids)
+        true_logit = true_logit - jnp.log(
+            num_sampled * _p_of(true_ids, p, sampled_ids, vocab, dist))
 
-    if remove_accidental_hits:
-        hit = sampled_ids[None, :] == true_ids[:, None]
-        samp_logits = jnp.where(hit, _NEG_INF, samp_logits)
+        samp_logits = (_matmul(query, v_samp, compute_dtype)
+                       + bias(sampled_ids)[None, :])
+        samp_logits = samp_logits - jnp.log(num_sampled * p)[None, :]
 
-    logits = jnp.concatenate([true_logit[:, None], samp_logits], axis=1)
-    ce = jax.nn.logsumexp(logits, axis=1) - logits[:, 0]
+        if remove_accidental_hits:
+            hit = sampled_ids[None, :] == true_ids[:, None]
+            samp_logits = jnp.where(hit, _NEG_INF, samp_logits)
+
+        logits = jnp.concatenate([true_logit[:, None], samp_logits], axis=1)
+        ce = jax.nn.logsumexp(logits, axis=1) - logits[:, 0]
     if weights is None:
         return ce.mean()
     return jnp.sum(ce * weights) / jnp.maximum(jnp.sum(weights), 1.0)

@@ -1,0 +1,89 @@
+"""Fused Pallas sampled-softmax kernel vs the pure-JAX oracle: values and
+gradients (q, candidate embeddings, biases) must agree. Runs in interpreter
+mode on CPU (same code path as TPU — SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from arec.losses.losses import sampled_softmax_loss
+from arec.losses.sampling import draw
+
+N, D, S, V = 48, 16, 32, 200
+
+
+def _setup(seed=0):
+    k = jax.random.key(seed)
+    kq, kt, ke, kr = jax.random.split(k, 4)
+    q = jax.random.normal(kq, (N, D))
+    true_ids = jax.random.randint(kt, (N,), 0, V, dtype=jnp.int32)
+    table = jax.random.normal(ke, (V + 1, D)) * 0.3
+    bias_v = jax.random.normal(jax.random.fold_in(ke, 1), (V + 1,)) * 0.1
+    return q, true_ids, table, bias_v, kr
+
+
+def _loss(q, table, bias_v, true_ids, rng, use_kernel, weights=None):
+    return sampled_softmax_loss(
+        q, true_ids,
+        embed=lambda ids: table[ids],
+        bias=lambda ids: bias_v[ids],
+        rng=rng, num_sampled=S, vocab=V,
+        compute_dtype=jnp.float32, weights=weights,
+        use_kernel=use_kernel)
+
+
+@pytest.mark.parametrize("weighted", [False, True])
+def test_fused_matches_pure(weighted):
+    q, true_ids, table, bias_v, rng = _setup()
+    w = (jnp.asarray(np.random.default_rng(1).integers(0, 2, N), jnp.float32)
+         if weighted else None)
+    ref = _loss(q, table, bias_v, true_ids, rng, False, w)
+    got = _loss(q, table, bias_v, true_ids, rng, True, w)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_fused_gradients_match_pure():
+    q, true_ids, table, bias_v, rng = _setup(3)
+
+    def f(use_kernel):
+        def loss(q, table, bias_v):
+            return _loss(q, table, bias_v, true_ids, rng, use_kernel)
+        return jax.grad(loss, argnums=(0, 1, 2))(q, table, bias_v)
+
+    gq_r, gt_r, gb_r = f(False)
+    gq_k, gt_k, gb_k = f(True)
+    np.testing.assert_allclose(np.asarray(gq_k), np.asarray(gq_r),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gt_k), np.asarray(gt_r),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gb_k), np.asarray(gb_r),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_fused_handles_accidental_hits():
+    """Force collisions: every sampled id equals some row's true id."""
+    q, true_ids, table, bias_v, rng = _setup(5)
+    sampled_ids = jnp.concatenate(
+        [true_ids[:S // 2], jnp.arange(S - S // 2, dtype=jnp.int32)])
+    p = jnp.full((S,), 1.0 / V)
+    ref = sampled_softmax_loss(
+        q, true_ids, lambda i: table[i], lambda i: bias_v[i],
+        rng, S, V, dist="uniform", compute_dtype=jnp.float32,
+        sampled=(sampled_ids, p), use_kernel=False)
+    got = sampled_softmax_loss(
+        q, true_ids, lambda i: table[i], lambda i: bias_v[i],
+        rng, S, V, dist="uniform", compute_dtype=jnp.float32,
+        sampled=(sampled_ids, p), use_kernel=True)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_fused_pads_non_multiple_rows():
+    """N not a multiple of the 256-row tile: padding rows must not leak."""
+    q, true_ids, table, bias_v, rng = _setup(7)
+    n2 = 300   # > 256 tile, not a multiple
+    q2 = jnp.tile(q, (7, 1))[:n2]
+    t2 = jnp.tile(true_ids, 7)[:n2]
+    ref = _loss(q2, table, bias_v, t2, rng, False)
+    got = _loss(q2, table, bias_v, t2, rng, True)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5, atol=1e-6)
