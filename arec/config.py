@@ -26,6 +26,8 @@ class DataConfig:
     item_vocab_size: int = 0    # 0 = unlimited; else truncate to top-N by freq
     vocab_min_thresh: int = 2   # min occurrences before an attr value gets an id
     user_sample: float = 1.0    # subsample fraction of users
+    min_timestamp: int = 0      # drop interactions before this time (the
+                                # ref's --after40-style temporal filter)
     # synthetic generator knobs (test/bench only)
     syn_users: int = 2000
     syn_items: int = 1500

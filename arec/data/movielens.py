@@ -47,6 +47,10 @@ def prepare_ml1m(cfg: DataConfig) -> PreparedDataset:
     r_time = np.array([int(r[3]) for r in ratings], np.int64)
     # implicit feedback: every rating event is a positive (SURVEY.md §2.1)
 
+    if cfg.min_timestamp:   # ref --after40-style temporal filter
+        keep = r_time >= cfg.min_timestamp
+        r_user, r_item, r_time = r_user[keep], r_item[keep], r_time[keep]
+
     # optional user subsampling (ref: --user_sample)
     uniq_users = np.unique(r_user)
     if cfg.user_sample < 1.0:

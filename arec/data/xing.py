@@ -82,6 +82,10 @@ def prepare_xing(cfg: DataConfig) -> PreparedDataset:
     raw_i = np.asarray(raw_i)
     ts = np.asarray(ts, np.int64)
 
+    if cfg.min_timestamp:   # ref --after40-style temporal filter
+        keep = ts >= cfg.min_timestamp
+        raw_u, raw_i, ts = raw_u[keep], raw_i[keep], ts[keep]
+
     # dedupe (user, item) keeping the FIRST occurrence in time
     order = np.lexsort((ts, raw_i, raw_u))
     raw_u, raw_i, ts = raw_u[order], raw_i[order], ts[order]

@@ -126,3 +126,36 @@ def test_prepared_roundtrip_via_cache(ml1m_raw, tmp_path):
     np.testing.assert_array_equal(
         a.item_attrs.values["genres"], b.item_attrs.values["genres"])
     assert a.item_schema == b.item_schema
+
+
+def test_xing_leaderboard_score_hand_computed(tmp_path):
+    """Toy example checked by hand against the scoring definition
+    (arec/train/xing_score.py)."""
+    from arec.train.xing_score import (
+        XingWeights, leaderboard_score, read_submission,
+    )
+    recs = {1: [10, 11], 2: [10, 12], 3: [13]}
+    inter = [
+        (1, 10, 1),          # click: +1 (user 1 premium → ×2 = 2)
+        (1, 11, 4),          # delete only: −10
+        (2, 10, 2),          # bookmark: +5
+        (2, 12, 5),          # recruiter: +20
+        (9, 13, 1),          # not pushed to user 9 → ignored
+    ]
+    # item successes: 10 (paid: +50, once despite two users), 12 (free: +25)
+    got = leaderboard_score(recs, inter, premium_users={1},
+                            paid_items={10})
+    assert got == 2 + (-10) + 5 + 20 + 50 + 25, got
+
+    # submission round-trip through the recommend writer format
+    p = tmp_path / "sub.tsv"
+    p.write_text("1\t10,11\n2\t10,12\n3\t13\n")
+    assert read_submission(str(p)) == recs
+
+
+def test_min_timestamp_filter(ml1m_raw):
+    full = prepare_ml1m(DataConfig(dataset="ml1m", raw_dir=ml1m_raw))
+    all_ts = len(full.train_users) + len(full.valid_users)
+    cut = prepare_ml1m(DataConfig(dataset="ml1m", raw_dir=ml1m_raw,
+                                  min_timestamp=978300050))
+    assert len(cut.train_users) + len(cut.valid_users) < all_ts
