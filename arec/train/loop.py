@@ -108,6 +108,10 @@ class Trainer:
         # ---- optimizer + step ----------------------------------------
         self.opt = make_optimizer(cfg.train.optimizer, cfg.train.learning_rate)
         self.sparse = cfg.train.sparse_update and not self.use_mesh
+        if cfg.train.sparse_update and self.use_mesh:
+            print("[config] sparse_update ignored on a mesh: sharded tables "
+                  "are already V/T per chip and update via the exchange "
+                  "transpose", flush=True)
         if self.sparse:
             from arec.train.sparse import (
                 init_sparse_state, make_sparse_train_step, table_paths,

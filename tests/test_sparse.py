@@ -24,12 +24,14 @@ from arec.train.sparse import (
 from arec.train.step import init_state, make_optimizer, make_train_step
 
 
-def _cfg(model, tmp_path, optimizer="adagrad", **model_kw):
+def _cfg(model, tmp_path, optimizer="adagrad", dense_threshold=512,
+         **model_kw):
     return Config(
         data=DataConfig(syn_users=120, syn_items=90, syn_interactions=2500,
                         data_dir=str(tmp_path / "data")),
         model=ModelConfig(model=model, dim=16, use_attributes=True,
-                          max_seq_len=6, use_pallas_scan=False, **model_kw),
+                          max_seq_len=6, use_pallas_scan=False,
+                          dense_vocab_threshold=dense_threshold, **model_kw),
         train=TrainConfig(batch_size=32, num_sampled=24,
                           optimizer=optimizer, learning_rate=0.2,
                           compute_dtype="float32"),
@@ -47,9 +49,14 @@ def _steps_equal(dense_params, sparse_params, paths=None):
             rtol=2e-5, atol=1e-6, err_msg=key)
 
 
-@pytest.mark.parametrize("optimizer", ["adagrad", "sgd"])
-def test_mf_sparse_step_matches_dense(tmp_path, optimizer):
-    cfg = _cfg("mf", tmp_path, optimizer)
+# dense_threshold=512 → every small field in the dense prefix (tiny
+# synthetic vocabs: uids empty, prefix-only updates); 0 → every field on
+# the GATHER path (full uids/subset/scatter machinery exercised).
+@pytest.mark.parametrize("optimizer,dense_threshold",
+                         [("adagrad", 512), ("sgd", 512),
+                          ("adagrad", 0), ("sgd", 0)])
+def test_mf_sparse_step_matches_dense(tmp_path, optimizer, dense_threshold):
+    cfg = _cfg("mf", tmp_path, optimizer, dense_threshold)
     ds = load_or_prepare(cfg.data)
     spec = mf_mod.MFSpec.from_config(cfg, ds.user_schema, ds.item_schema)
     params = mf_mod.init_mf(jax.random.key(0), spec)
@@ -85,11 +92,13 @@ def test_mf_sparse_step_matches_dense(tmp_path, optimizer):
     _steps_equal(d_state.params, s_params)
 
 
-@pytest.mark.parametrize("tie_output,concat_user",
-                         [(False, False), (True, True)])
-def test_seq_sparse_step_matches_dense(tmp_path, tie_output, concat_user):
+@pytest.mark.parametrize("tie_output,concat_user,dense_threshold",
+                         [(False, False, 512), (True, True, 512),
+                          (False, False, 0), (True, True, 0)])
+def test_seq_sparse_step_matches_dense(tmp_path, tie_output, concat_user,
+                                       dense_threshold):
     cfg = _cfg("lstm", tmp_path, tie_output=tie_output,
-               concat_user=concat_user)
+               concat_user=concat_user, dense_threshold=dense_threshold)
     ds = load_or_prepare(cfg.data)
     spec = seq_mod.SeqSpec.from_config(cfg, ds.user_schema, ds.item_schema)
     params = seq_mod.init_seq(jax.random.key(1), spec)
