@@ -5,11 +5,14 @@ Measures every graded counter that is measurable on this machine and
 appends a JSON record per metric to BASELINE_RUNS.jsonl:
   * MF train examples/s/chip (attr-aware, the bench.py flagship)
   * LSTM train examples/s/chip (Pallas scan)
+  * production-vocab sparse-vs-dense update throughput (MF and LSTM)
   * retrieval queries/s — top-30 MIPS over the item table, seen-masked
-  * end-to-end Recall@30 on the synthetic twins (short runs)
 
 bench.py stays the driver's one-line entry; this is the full harness.
-Usage: python bench_all.py [--quick]
+Usage: python bench_all.py [--quick] [--only SECTION[,SECTION]]
+Sections: mf, lstm, mf_bigvocab, lstm_bigvocab, retrieval.
+(--only exists because tunnel compiles are slow — a full run can exceed a
+10-minute window; split sections across invocations.)
 """
 
 from __future__ import annotations
@@ -20,13 +23,28 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 QUICK = "--quick" in sys.argv
+_ONLY = None
+for _i, _a in enumerate(sys.argv):
+    if _a == "--only" and _i + 1 < len(sys.argv):
+        _ONLY = set(sys.argv[_i + 1].split(","))
+
+ITERS = 10 if QUICK else 50
+BATCH = 16384          # MF batch (saturates the chip)
+SB, L = 2048, 30       # LSTM batch / sequence length
+CHIPS = max(jax.local_device_count(), 1)
 
 
-def _bench_steps(step, state, ring, rng, warmup, iters):
+def want(section: str) -> bool:
+    return _ONLY is None or section in _ONLY
+
+
+def _bench_steps(step, state, ring, rng, warmup=5, iters=None):
     """Returns (elapsed_s, final_state) — the input state is DONATED by the
     first step call, so callers must use the returned state afterwards."""
+    iters = ITERS if iters is None else iters
     for i in range(warmup):
         rng, sub = jax.random.split(rng)
         state, m = step(state, ring[i % len(ring)], sub)
@@ -45,33 +63,28 @@ def _record(out, **rec):
     print(json.dumps(rec), flush=True)
 
 
-def main():
-    from arec.config import Config, DataConfig, ModelConfig, TrainConfig
-    from arec.data.dataset import mf_batches, seq_batches
+def _dataset():
+    from arec.config import DataConfig
     from arec.data.io import load_or_prepare
-    from arec.models.mf import MFSpec, init_mf, mf_item_latents, mf_loss
-    from arec.models.seq import SeqSpec, init_seq, seq_loss
+    return load_or_prepare(DataConfig(
+        dataset="synthetic", data_dir="_data",
+        syn_users=60000, syn_items=20000, syn_interactions=600000))
+
+
+def bench_mf(out, ds, opt):
+    from arec.config import Config, ModelConfig, TrainConfig
+    from arec.data.dataset import mf_batches
+    from arec.models.mf import MFSpec, init_mf, mf_loss
     from arec.tables.engine import attrs_to_device
-    from arec.train.evalu import topk_with_mask
-    from arec.train.step import init_state, make_optimizer, make_train_step
+    from arec.train.step import init_state, make_train_step
 
-    out: list[dict] = []
-    chips = max(jax.local_device_count(), 1)
-    data = DataConfig(dataset="synthetic", data_dir="_data",
-                      syn_users=60000, syn_items=20000,
-                      syn_interactions=600000)
-    ds = load_or_prepare(data)
-    iters = 10 if QUICK else 50
-
-    # ---- MF train throughput --------------------------------------------
-    BATCH = 16384
-    cfg = Config(data=data,
-                 model=ModelConfig(model="mf", dim=64, use_attributes=True),
+    cfg = Config(model=ModelConfig(model="mf", dim=64, use_attributes=True),
                  train=TrainConfig(num_sampled=1024))
     spec = MFSpec.from_config(cfg, ds.user_schema, ds.item_schema)
-    user_dev = attrs_to_device(ds.user_attrs.restrict(spec.user.schema), spec.user)
-    item_dev = attrs_to_device(ds.item_attrs.restrict(spec.item.schema), spec.item)
-    opt = make_optimizer("adagrad", 0.3)
+    user_dev = attrs_to_device(ds.user_attrs.restrict(spec.user.schema),
+                               spec.user)
+    item_dev = attrs_to_device(ds.item_attrs.restrict(spec.item.schema),
+                               spec.item)
     params = init_mf(jax.random.key(0), spec)
     state = init_state(params, opt)
     step = make_train_step(
@@ -81,19 +94,27 @@ def main():
         ring.append({k: jnp.asarray(v) for k, v in b.items()})
         if i >= 7:
             break
-    dt, state = _bench_steps(step, state, ring, jax.random.key(1), 5, iters)
+    dt, state = _bench_steps(step, state, ring, jax.random.key(1))
     _record(out, metric="mf_train_examples_per_s_per_chip",
-            value=round(BATCH * iters / dt / chips, 1), unit="examples/s/chip",
+            value=round(BATCH * ITERS / dt / CHIPS, 1),
+            unit="examples/s/chip",
             config="attr-aware MF dim64 S1024 batch16384")
+    return state, spec, item_dev
 
-    # ---- LSTM train throughput ------------------------------------------
-    SB, L = 2048, 30
-    cfg = Config(data=data,
-                 model=ModelConfig(model="lstm", dim=64, use_attributes=True,
+
+def bench_lstm(out, ds, opt):
+    from arec.config import Config, ModelConfig, TrainConfig
+    from arec.data.dataset import seq_batches
+    from arec.models.seq import SeqSpec, init_seq, seq_loss
+    from arec.tables.engine import attrs_to_device
+    from arec.train.step import init_state, make_train_step
+
+    cfg = Config(model=ModelConfig(model="lstm", dim=64, use_attributes=True,
                                    max_seq_len=L, use_pallas_scan=True),
                  train=TrainConfig(num_sampled=1024))
     sspec = SeqSpec.from_config(cfg, ds.user_schema, ds.item_schema)
-    sitem_dev = attrs_to_device(ds.item_attrs.restrict(sspec.item_in.schema), sspec.item_in)
+    sitem_dev = attrs_to_device(
+        ds.item_attrs.restrict(sspec.item_in.schema), sspec.item_in)
     sparams = init_seq(jax.random.key(0), sspec)
     sstate = init_state(sparams, opt)
     sstep = make_train_step(
@@ -103,24 +124,26 @@ def main():
         sring.append({k: jnp.asarray(v) for k, v in b.items()})
         if i >= 7:
             break
-    dt, sstate = _bench_steps(sstep, sstate, sring, jax.random.key(2), 5, iters)
+    dt, sstate = _bench_steps(sstep, sstate, sring, jax.random.key(2))
     _record(out, metric="lstm_train_examples_per_s_per_chip",
-            value=round(SB * iters / dt / chips, 1), unit="examples/s/chip",
+            value=round(SB * ITERS / dt / CHIPS, 1), unit="examples/s/chip",
             config=f"attr-aware LSTM dim64 L{L} S1024 batch{SB} pallas")
     _record(out, metric="lstm_train_positions_per_s_per_chip",
-            value=round(SB * L * iters / dt / chips, 1),
+            value=round(SB * L * ITERS / dt / CHIPS, 1),
             unit="positions/s/chip", config="same")
 
-    # ---- sparse vs dense table updates at production vocab scale ---------
-    # (arec/train/sparse.py: O(touched rows) optimizer traffic; the win
-    # grows with vocab — this is the XING-scale regime the dense step
-    # cannot reach efficiently)
-    import numpy as np
+
+def bench_mf_bigvocab(out, opt):
+    """Sparse vs dense table updates at production vocab scale
+    (arec/train/sparse.py: O(touched rows) optimizer traffic)."""
     from arec.data.schema import AttributeData, EntitySchema
-    from arec.tables.engine import EncoderSpec
+    from arec.models.mf import MFSpec, init_mf, mf_loss
+    from arec.tables.engine import EncoderSpec, attrs_to_device
     from arec.train.sparse import (
         init_sparse_state, make_sparse_train_step, table_paths,
     )
+    from arec.train.step import init_state, make_train_step
+
     NU, NI = 1_000_000, 300_000
     us = EntitySchema("user", NU, (EntitySchema.id_field("user", NU),))
     its = EntitySchema("item", NI, (EntitySchema.id_field("item", NI),))
@@ -131,32 +154,84 @@ def main():
     budev = attrs_to_device(ua, bspec.user)
     bidev = attrs_to_device(ia, bspec.item)
     rng_np = np.random.default_rng(0)
-    bring = [{"user": jnp.asarray(
-                  rng_np.integers(0, NU, BATCH).astype(np.int32)),
-              "pos_item": jnp.asarray(
-                  rng_np.integers(0, NI, BATCH).astype(np.int32))}
-             for _ in range(4)]
+    ring = [{"user": jnp.asarray(
+                 rng_np.integers(0, NU, BATCH).astype(np.int32)),
+             "pos_item": jnp.asarray(
+                 rng_np.integers(0, NI, BATCH).astype(np.int32))}
+            for _ in range(4)]
     for mode in ("dense", "sparse"):
-        bparams = init_mf(jax.random.key(0), bspec)
+        params = init_mf(jax.random.key(0), bspec)
         if mode == "dense":
-            bstate = init_state(bparams, opt)
-            bstep = make_train_step(
+            state = init_state(params, opt)
+            step = make_train_step(
                 lambda p, b, r: mf_loss(p, bspec, budev, bidev, b, r),
                 opt, 0.3)
         else:
-            bstate = init_sparse_state(
-                bparams, table_paths(False, bspec), opt, "adagrad")
-            bstep = make_sparse_train_step(
+            state = init_sparse_state(
+                params, table_paths(False, bspec), opt, "adagrad")
+            step = make_sparse_train_step(
                 False, bspec, budev, bidev, opt, 0.3, "adagrad")
-        dt, bstate = _bench_steps(bstep, bstate, bring, jax.random.key(4),
-                                  5, iters)
+        dt, state = _bench_steps(step, state, ring, jax.random.key(4))
         _record(out, metric=f"mf_bigvocab_{mode}_examples_per_s_per_chip",
-                value=round(BATCH * iters / dt / chips, 1),
+                value=round(BATCH * ITERS / dt / CHIPS, 1),
                 unit="examples/s/chip",
                 config=f"ID-only MF U={NU} V={NI} dim64 S1024 batch{BATCH}")
-        del bstate, bstep, bparams
+        del state, step, params
 
-    # ---- retrieval QPS ---------------------------------------------------
+
+def bench_lstm_bigvocab(out, opt):
+    """XING-shaped regime: output table + input encoder at V=300k make the
+    dense optimizer pass the dominant cost."""
+    from arec.data.schema import AttributeData, EntitySchema
+    from arec.models.seq import SeqSpec, init_seq, seq_loss
+    from arec.tables.engine import EncoderSpec, attrs_to_device
+    from arec.train.sparse import (
+        init_sparse_state, make_sparse_train_step, table_paths,
+    )
+    from arec.train.step import init_state, make_train_step
+
+    NIL = 300_000
+    lis = EntitySchema("item", NIL, (EntitySchema.id_field("item", NIL),))
+    lia = AttributeData(lis, AttributeData.id_identity(lis))
+    lspec = SeqSpec(item_in=EncoderSpec(lis, 64), user=None,
+                    max_seq_len=L, num_sampled=1024, use_pallas_scan=True)
+    lidev = attrs_to_device(lia, lspec.item_in)
+    rng_np = np.random.default_rng(1)
+    ring = []
+    for _ in range(4):
+        hist = rng_np.integers(0, NIL, (SB, L + 1)).astype(np.int32)
+        ring.append({
+            "user": jnp.asarray(
+                rng_np.integers(0, 1000, SB).astype(np.int32)),
+            "inputs": jnp.asarray(hist[:, :-1]),
+            "targets": jnp.asarray(hist[:, 1:]),
+            "mask": jnp.ones((SB, L), jnp.float32),
+        })
+    for mode in ("dense", "sparse"):
+        params = init_seq(jax.random.key(0), lspec)
+        if mode == "dense":
+            state = init_state(params, opt)
+            step = make_train_step(
+                lambda p, b, r: seq_loss(p, lspec, lidev, None, b, r),
+                opt, 0.3)
+        else:
+            state = init_sparse_state(
+                params, table_paths(True, lspec), opt, "adagrad")
+            step = make_sparse_train_step(
+                True, lspec, None, lidev, opt, 0.3, "adagrad")
+        dt, state = _bench_steps(step, state, ring, jax.random.key(5))
+        _record(out, metric=f"lstm_bigvocab_{mode}_seqs_per_s_per_chip",
+                value=round(SB * ITERS / dt / CHIPS, 1),
+                unit="sequences/s/chip",
+                config=f"ID-only LSTM V={NIL} dim64 L{L} S1024 batch{SB}")
+        del state, step, params
+
+
+def bench_retrieval(out, ds, mf_result):
+    from arec.models.mf import mf_item_latents
+    from arec.train.evalu import topk_with_mask
+
+    state, spec, item_dev = mf_result
     v, bias = mf_item_latents(state.params, spec, item_dev)
     v, bias = jax.block_until_ready((v, bias))
     QB = 4096
@@ -165,13 +240,34 @@ def main():
     tk = lambda: topk_with_mask(q, v, bias, seen, k=30)
     jax.block_until_ready(tk())
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for _ in range(ITERS):
         r = tk()
     jax.block_until_ready(r)
     dt = time.perf_counter() - t0
     _record(out, metric="retrieval_top30_qps",
-            value=round(QB * iters / dt, 1), unit="queries/s",
+            value=round(QB * ITERS / dt, 1), unit="queries/s",
             config=f"V={ds.num_items} dim64 batch{QB} seen-masked")
+
+
+def main():
+    from arec.train.step import make_optimizer
+
+    out: list[dict] = []
+    opt = make_optimizer("adagrad", 0.3)
+    ds = (_dataset()
+          if (want("mf") or want("lstm") or want("retrieval")) else None)
+
+    mf_result = None
+    if want("mf") or want("retrieval"):
+        mf_result = bench_mf(out, ds, opt)
+    if want("lstm"):
+        bench_lstm(out, ds, opt)
+    if want("mf_bigvocab"):
+        bench_mf_bigvocab(out, opt)
+    if want("lstm_bigvocab"):
+        bench_lstm_bigvocab(out, opt)
+    if want("retrieval"):
+        bench_retrieval(out, ds, mf_result)
 
     with open("BASELINE_RUNS.jsonl", "a") as f:
         for rec in out:
