@@ -49,7 +49,14 @@ class ModelConfig:
     # sequence model only
     cell: str = "lstm"          # {lstm, gru}
     num_layers: int = 1
-    max_seq_len: int = 30       # ref: --L; sequences truncated/padded to this
+    max_seq_len: int = 30       # ref: --L; scan segment length
+    train_segments: int = 1     # history length trained per example =
+                                # train_segments · max_seq_len: the scan runs
+                                # in carried-(h,c) segments of max_seq_len
+                                # with per-segment rematerialization, so
+                                # activation memory stays O(B·max_seq_len)
+                                # (SURVEY.md §5 "Long-context": temporal
+                                # pipelining, not SP). 1 = reference behavior.
     use_pallas_scan: bool = True  # Pallas fused-gate scan vs lax.scan reference
     concat_user: bool = False   # prepend/add user embedding to each seq input
     tie_output: bool = False    # reuse fused item encoder as the output table
@@ -79,6 +86,11 @@ class TrainConfig:
     compute_dtype: str = "bfloat16"  # matmul input dtype; params stay fp32
     sparse_update: bool = False # touched-rows-only table updates (big-vocab
                                 # fast path; single-device, adagrad/sgd)
+    steps_per_dispatch: int = 1 # K optimizer steps per device dispatch
+                                # (lax.scan inside one jit) — amortizes
+                                # host→device launch latency; step-for-step
+                                # identical to K=1 (same per-step rng/order).
+                                # steps_per_checkpoint must be a multiple.
 
 
 @dataclass(frozen=True)

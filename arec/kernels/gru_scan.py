@@ -35,10 +35,11 @@ from arec.kernels.lstm_scan import _interpret, _pad_axis, _pick_tiles
 # Forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(xw_ref, wh_ref, mask_ref, h_out_ref, h_scr, *, LT, H, dtype):
+def _fwd_kernel(xw_ref, wh_ref, mask_ref, h0_ref, h_out_ref, h_scr,
+                *, LT, H, dtype):
     @pl.when(pl.program_id(1) == 0)
     def _():
-        h_scr[:] = jnp.zeros_like(h_scr)
+        h_scr[:] = h0_ref[:]
 
     wh = wh_ref[:].astype(dtype)
 
@@ -64,8 +65,9 @@ def _fwd_kernel(xw_ref, wh_ref, mask_ref, h_out_ref, h_scr, *, LT, H, dtype):
     jax.lax.fori_loop(0, LT, step, 0)
 
 
-def _forward(xw_tm, wh, mask_bm, *, dtype):
-    """xw_tm [L, B, 3H], wh [H, 3H], mask_bm [B, L] → h_all [L, B, H]."""
+def _forward(xw_tm, wh, mask_bm, h0, *, dtype):
+    """xw_tm [L, B, 3H], wh [H, 3H], mask_bm [B, L], h0 [B, H]
+    → h_all [L, B, H]."""
     L, B, H3 = xw_tm.shape
     H = H3 // 3
     BT, LT = _pick_tiles(B, L, H)
@@ -73,10 +75,13 @@ def _forward(xw_tm, wh, mask_bm, *, dtype):
     Lp, Bp = xw_tm.shape[:2]
     mask_bm = _pad_axis(_pad_axis(mask_bm, BT, 0), LT, 1)
     mask_e = jnp.broadcast_to(mask_bm.T[:, :, None], (Lp, Bp, H))
+    h0 = _pad_axis(h0, BT, 0)
     grid = (Bp // BT, Lp // LT)
     kernel = functools.partial(_fwd_kernel, LT=LT, H=H, dtype=dtype)
     tblock = lambda w: pl.BlockSpec((LT, BT, w), lambda i, j: (j, i, 0),
                                     memory_space=pltpu.VMEM)
+    bblock = pl.BlockSpec((BT, H), lambda i, j: (i, 0),
+                          memory_space=pltpu.VMEM)
     h_all = pl.pallas_call(
         kernel,
         grid=grid,
@@ -85,6 +90,7 @@ def _forward(xw_tm, wh, mask_bm, *, dtype):
             pl.BlockSpec((H, 3 * H), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             tblock(H),
+            bblock,
         ],
         out_specs=[tblock(H)],
         out_shape=[jax.ShapeDtypeStruct((Lp, Bp, H), jnp.float32)],
@@ -95,7 +101,7 @@ def _forward(xw_tm, wh, mask_bm, *, dtype):
             transcendentals=3 * Lp * Bp * H,
         ),
         interpret=_interpret(),
-    )(xw_tm, wh, mask_e)[0]
+    )(xw_tm, wh, mask_e, h0)[0]
     return h_all[:L, :B]
 
 
@@ -104,7 +110,7 @@ def _forward(xw_tm, wh, mask_bm, *, dtype):
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(xw_ref, wh_ref, mask_ref, hp_ref, dh_out_ref,
-                dxw_ref, dwh_ref, dh_scr, *, LT, H, dtype):
+                dxw_ref, dwh_ref, dh0_ref, dh_scr, *, LT, H, dtype):
     @pl.when(pl.program_id(1) == 0)
     def _():
         dh_scr[:] = jnp.zeros_like(dh_scr)
@@ -175,9 +181,12 @@ def _bwd_kernel(xw_ref, wh_ref, mask_ref, hp_ref, dh_out_ref,
         return 0
 
     jax.lax.fori_loop(0, LT, step, 0)
+    # after the LAST grid step (time block 0) this holds d h0; the out
+    # block is revisited per time block, so the final write wins.
+    dh0_ref[:] = dh_scr[:]
 
 
-def _backward(xw_tm, wh, mask_bm, h_all, dh_out, *, dtype):
+def _backward(xw_tm, wh, mask_bm, h0, h_all, dh_out, *, dtype):
     L, B, H3 = xw_tm.shape
     H = H3 // 3
     BT, LT = _pick_tiles(B, L, H)
@@ -186,8 +195,7 @@ def _backward(xw_tm, wh, mask_bm, h_all, dh_out, *, dtype):
     Lp, Bp = xw_tm.shape[:2]
     mask_bm = _pad_axis(_pad_axis(mask_bm, BT, 0), LT, 1)
     mask_e = jnp.broadcast_to(mask_bm.T[:, :, None], (Lp, Bp, H))
-    zrow = jnp.zeros((1,) + h_all.shape[1:], h_all.dtype)
-    h_prev = pad2(jnp.concatenate([zrow, h_all[:-1]], axis=0))
+    h_prev = pad2(jnp.concatenate([h0[None], h_all[:-1]], axis=0))
     dh_out = pad2(dh_out)
 
     grid = (Bp // BT, Lp // LT)
@@ -196,7 +204,9 @@ def _backward(xw_tm, wh, mask_bm, h_all, dh_out, *, dtype):
     rblock = lambda w: pl.BlockSpec(
         (LT, BT, w), lambda i, j: (nt - 1 - j, i, 0),
         memory_space=pltpu.VMEM)
-    dxw, dwh_parts = pl.pallas_call(
+    bblock = pl.BlockSpec((BT, H), lambda i, j: (i, 0),
+                          memory_space=pltpu.VMEM)
+    dxw, dwh_parts, dh0 = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -209,10 +219,12 @@ def _backward(xw_tm, wh, mask_bm, h_all, dh_out, *, dtype):
             rblock(3 * H),
             pl.BlockSpec((1, H, 3 * H), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            bblock,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Lp, Bp, 3 * H), jnp.float32),
             jax.ShapeDtypeStruct((Bp // BT, H, 3 * H), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, H), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((BT, H), jnp.float32)],
         cost_estimate=pl.CostEstimate(
@@ -222,43 +234,61 @@ def _backward(xw_tm, wh, mask_bm, h_all, dh_out, *, dtype):
         ),
         interpret=_interpret(),
     )(xw_tm, wh, mask_e, h_prev, dh_out)
-    return dxw[:L, :B], dwh_parts.sum(axis=0)
+    return dxw[:L, :B], dwh_parts.sum(axis=0), dh0[:B]
 
 
 # ---------------------------------------------------------------------------
 # custom-VJP primitive: one recurrent layer
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def gru_layer_pallas(xw_tm, wh, mask_bm, dtype=jnp.bfloat16):
-    return _forward(xw_tm, wh, mask_bm, dtype=dtype)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def gru_layer_pallas(xw_tm, wh, mask_bm, h0, dtype=jnp.bfloat16):
+    """One recurrent layer → h_all [L, B, H]; the final state is h_all[-1].
+    h0 [B, H] is the carried-in state; gradients flow through it, so a
+    segmented scan matches the unsegmented one exactly (SURVEY.md §5)."""
+    return _forward(xw_tm, wh, mask_bm, h0, dtype=dtype)
 
 
-def _vjp_fwd(xw_tm, wh, mask_bm, dtype):
-    h_all = _forward(xw_tm, wh, mask_bm, dtype=dtype)
-    return h_all, (xw_tm, wh, mask_bm, h_all)
+def _vjp_fwd(xw_tm, wh, mask_bm, h0, dtype):
+    h_all = _forward(xw_tm, wh, mask_bm, h0, dtype=dtype)
+    return h_all, (xw_tm, wh, mask_bm, h0, h_all)
 
 
 def _vjp_bwd(dtype, res, dh_out):
-    xw_tm, wh, mask_bm, h_all = res
-    dxw, dwh = _backward(xw_tm, wh, mask_bm, h_all, dh_out, dtype=dtype)
-    return dxw, dwh, None
+    xw_tm, wh, mask_bm, h0, h_all = res
+    dxw, dwh, dh0 = _backward(xw_tm, wh, mask_bm, h0, h_all, dh_out,
+                              dtype=dtype)
+    return dxw, dwh, None, dh0
 
 
 gru_layer_pallas.defvjp(_vjp_fwd, _vjp_bwd)
 
 
 def pallas_gru_scan(layers: list[dict], x: jnp.ndarray, mask: jnp.ndarray,
-                    dtype=jnp.bfloat16) -> jnp.ndarray:
+                    dtype=jnp.bfloat16, states: list | None = None,
+                    return_states: bool = False):
     """Drop-in replacement for arec.models.seq.rnn_scan (cell='gru'):
-    x [B, L, D], mask [B, L] → top-layer hidden states [B, L, H]."""
+    x [B, L, D], mask [B, L] → top-layer hidden states [B, L, H].
+    `states`: per-layer (h0, c0) carries — the c slot rides along unused so
+    the state pytree matches the LSTM/lax.scan paths."""
     from arec.models.seq import input_projection  # shared xw layout
 
+    b = x.shape[0]
     h = x
-    for p in layers:
+    new_states = []
+    for li, p in enumerate(layers):
         d_in = h.shape[-1]
+        d = p["w"].shape[0] - d_in
         xw = input_projection(p, h, dtype)              # [B, L, 3H]
+        if states is not None:
+            h0, c0 = states[li]
+        else:
+            h0 = jnp.zeros((b, d), jnp.float32)
+            c0 = h0
         h_all = gru_layer_pallas(
-            xw.transpose(1, 0, 2), p["w"][d_in:], mask, dtype)
+            xw.transpose(1, 0, 2), p["w"][d_in:], mask, h0, dtype)
+        new_states.append((h_all[-1], c0))
         h = h_all.transpose(1, 0, 2)
+    if return_states:
+        return h, new_states
     return h

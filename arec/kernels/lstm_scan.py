@@ -70,12 +70,13 @@ def _pad_axis(x, mult, axis):
 # Forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(xw_ref, wh_ref, mask_ref, h_out_ref, c_out_ref,
+def _fwd_kernel(xw_ref, wh_ref, mask_ref, h0_ref, c0_ref,
+                h_out_ref, c_out_ref,
                 h_scr, c_scr, *, LT, H, dtype):
     @pl.when(pl.program_id(1) == 0)
     def _():
-        h_scr[:] = jnp.zeros_like(h_scr)
-        c_scr[:] = jnp.zeros_like(c_scr)
+        h_scr[:] = h0_ref[:]
+        c_scr[:] = c0_ref[:]
 
     wh = wh_ref[:].astype(dtype)
 
@@ -100,8 +101,9 @@ def _fwd_kernel(xw_ref, wh_ref, mask_ref, h_out_ref, c_out_ref,
     jax.lax.fori_loop(0, LT, step, 0)
 
 
-def _forward(xw_tm, wh, mask_bm, *, dtype):
-    """xw_tm [L, B, 4H], wh [H, 4H], mask_bm [B, L] → (h_all, c_all) [L, B, H]."""
+def _forward(xw_tm, wh, mask_bm, h0, c0, *, dtype):
+    """xw_tm [L, B, 4H], wh [H, 4H], mask_bm [B, L], h0/c0 [B, H]
+    → (h_all, c_all) [L, B, H]."""
     L, B, H4 = xw_tm.shape
     H = H4 // 4
     BT, LT = _pick_tiles(B, L, H)
@@ -109,10 +111,14 @@ def _forward(xw_tm, wh, mask_bm, *, dtype):
     Lp, Bp = xw_tm.shape[:2]
     mask_bm = _pad_axis(_pad_axis(mask_bm, BT, 0), LT, 1)
     mask_e = jnp.broadcast_to(mask_bm.T[:, :, None], (Lp, Bp, H))
+    h0 = _pad_axis(h0, BT, 0)
+    c0 = _pad_axis(c0, BT, 0)
     grid = (Bp // BT, Lp // LT)
     kernel = functools.partial(_fwd_kernel, LT=LT, H=H, dtype=dtype)
     tblock = lambda w: pl.BlockSpec((LT, BT, w), lambda i, j: (j, i, 0),
                                     memory_space=pltpu.VMEM)
+    bblock = pl.BlockSpec((BT, H), lambda i, j: (i, 0),
+                          memory_space=pltpu.VMEM)
     h_all, c_all = pl.pallas_call(
         kernel,
         grid=grid,
@@ -121,6 +127,7 @@ def _forward(xw_tm, wh, mask_bm, *, dtype):
             pl.BlockSpec((H, 4 * H), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             tblock(H),
+            bblock, bblock,
         ],
         out_specs=[tblock(H), tblock(H)],
         out_shape=[
@@ -137,7 +144,7 @@ def _forward(xw_tm, wh, mask_bm, *, dtype):
             transcendentals=4 * Lp * Bp * H,
         ),
         interpret=_interpret(),
-    )(xw_tm, wh, mask_e)
+    )(xw_tm, wh, mask_e, h0, c0)
     return h_all[:L, :B], c_all[:L, :B]
 
 
@@ -146,12 +153,13 @@ def _forward(xw_tm, wh, mask_bm, *, dtype):
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(xw_ref, wh_ref, mask_ref, hp_ref, cp_ref, dh_out_ref,
-                dxw_ref, dwh_ref,
+                dcT_ref,
+                dxw_ref, dwh_ref, dh0_ref, dc0_ref,
                 dh_scr, dc_scr, *, LT, H, dtype):
     @pl.when(pl.program_id(1) == 0)
     def _():
         dh_scr[:] = jnp.zeros_like(dh_scr)
-        dc_scr[:] = jnp.zeros_like(dc_scr)
+        dc_scr[:] = dcT_ref[:]      # cotangent of the carried-out cell state
         dwh_ref[:] = jnp.zeros_like(dwh_ref)
 
     wh = wh_ref[:].astype(dtype)
@@ -205,9 +213,14 @@ def _bwd_kernel(xw_ref, wh_ref, mask_ref, hp_ref, cp_ref, dh_out_ref,
         return 0
 
     jax.lax.fori_loop(0, LT, step, 0)
+    # after the LAST grid step (time block 0) these hold d h0 / d c0; the
+    # out blocks are revisited per time block, so the final write wins.
+    dh0_ref[:] = dh_scr[:]
+    dc0_ref[:] = dc_scr[:]
 
 
-def _backward(xw_tm, wh, mask_bm, h_all, c_all, dh_out, *, dtype):
+def _backward(xw_tm, wh, mask_bm, h0, c0, h_all, c_all, dh_out, dcT,
+              *, dtype):
     L, B, H4 = xw_tm.shape
     H = H4 // 4
     BT, LT = _pick_tiles(B, L, H)
@@ -216,12 +229,12 @@ def _backward(xw_tm, wh, mask_bm, h_all, c_all, dh_out, *, dtype):
     Lp, Bp = xw_tm.shape[:2]
     mask_bm = _pad_axis(_pad_axis(mask_bm, BT, 0), LT, 1)
     mask_e = jnp.broadcast_to(mask_bm.T[:, :, None], (Lp, Bp, H))
-    # shift-by-one views: h_prev[t] = h_all[t-1] (zeros at t=0) — block
+    # shift-by-one views: h_prev[t] = h_all[t-1] (h0 at t=0) — block
     # boundaries then need no cross-block reads in the reversed sweep.
-    zrow = jnp.zeros((1,) + h_all.shape[1:], h_all.dtype)
-    h_prev = pad2(jnp.concatenate([zrow, h_all[:-1]], axis=0))
-    c_prev = pad2(jnp.concatenate([zrow, c_all[:-1]], axis=0))
+    h_prev = pad2(jnp.concatenate([h0[None], h_all[:-1]], axis=0))
+    c_prev = pad2(jnp.concatenate([c0[None], c_all[:-1]], axis=0))
     dh_out = pad2(dh_out)
+    dcT = _pad_axis(dcT, BT, 0)
 
     grid = (Bp // BT, Lp // LT)
     nt = Lp // LT
@@ -230,7 +243,9 @@ def _backward(xw_tm, wh, mask_bm, h_all, c_all, dh_out, *, dtype):
     rblock = lambda w: pl.BlockSpec(
         (LT, BT, w), lambda i, j: (nt - 1 - j, i, 0),
         memory_space=pltpu.VMEM)
-    dxw, dwh_parts = pl.pallas_call(
+    bblock = pl.BlockSpec((BT, H), lambda i, j: (i, 0),
+                          memory_space=pltpu.VMEM)
+    dxw, dwh_parts, dh0, dc0 = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -238,15 +253,19 @@ def _backward(xw_tm, wh, mask_bm, h_all, c_all, dh_out, *, dtype):
             pl.BlockSpec((H, 4 * H), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             rblock(H), rblock(H), rblock(H), rblock(H),
+            bblock,
         ],
         out_specs=[
             rblock(4 * H),
             pl.BlockSpec((1, H, 4 * H), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            bblock, bblock,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Lp, Bp, 4 * H), jnp.float32),
             jax.ShapeDtypeStruct((Bp // BT, H, 4 * H), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, H), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, H), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((BT, H), jnp.float32),
@@ -258,46 +277,66 @@ def _backward(xw_tm, wh, mask_bm, h_all, c_all, dh_out, *, dtype):
             transcendentals=4 * Lp * Bp * H,
         ),
         interpret=_interpret(),
-    )(xw_tm, wh, mask_e, h_prev, c_prev, dh_out)
-    return dxw[:L, :B], dwh_parts.sum(axis=0)
+    )(xw_tm, wh, mask_e, h_prev, c_prev, dh_out, dcT)
+    return dxw[:L, :B], dwh_parts.sum(axis=0), dh0[:B], dc0[:B]
 
 
 # ---------------------------------------------------------------------------
 # custom-VJP primitive: one recurrent layer
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def lstm_layer_pallas(xw_tm, wh, mask_bm, dtype=jnp.bfloat16):
-    h_all, _ = _forward(xw_tm, wh, mask_bm, dtype=dtype)
-    return h_all
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def lstm_layer_pallas(xw_tm, wh, mask_bm, h0, c0, dtype=jnp.bfloat16):
+    """One recurrent layer. Returns (h_all [L, B, H], cT [B, H]); the final
+    hidden state is h_all[-1]. (h0, c0) are carried-in states — gradients
+    flow through them AND through cT, so a segmented scan over time chunks
+    has exactly the gradient of the unsegmented scan (SURVEY.md §5
+    "Long-context": temporal pipelining)."""
+    h_all, c_all = _forward(xw_tm, wh, mask_bm, h0, c0, dtype=dtype)
+    return h_all, c_all[-1]
 
 
-def _vjp_fwd(xw_tm, wh, mask_bm, dtype):
-    h_all, c_all = _forward(xw_tm, wh, mask_bm, dtype=dtype)
-    return h_all, (xw_tm, wh, mask_bm, h_all, c_all)
+def _vjp_fwd(xw_tm, wh, mask_bm, h0, c0, dtype):
+    h_all, c_all = _forward(xw_tm, wh, mask_bm, h0, c0, dtype=dtype)
+    return (h_all, c_all[-1]), (xw_tm, wh, mask_bm, h0, c0, h_all, c_all)
 
 
-def _vjp_bwd(dtype, res, dh_out):
-    xw_tm, wh, mask_bm, h_all, c_all = res
-    dxw, dwh = _backward(xw_tm, wh, mask_bm, h_all, c_all, dh_out,
-                         dtype=dtype)
-    return dxw, dwh, None
+def _vjp_bwd(dtype, res, cts):
+    xw_tm, wh, mask_bm, h0, c0, h_all, c_all = res
+    dh_out, dcT = cts
+    dxw, dwh, dh0, dc0 = _backward(xw_tm, wh, mask_bm, h0, c0,
+                                   h_all, c_all, dh_out, dcT, dtype=dtype)
+    return dxw, dwh, None, dh0, dc0
 
 
 lstm_layer_pallas.defvjp(_vjp_fwd, _vjp_bwd)
 
 
 def pallas_lstm_scan(layers: list[dict], x: jnp.ndarray, mask: jnp.ndarray,
-                     dtype=jnp.bfloat16) -> jnp.ndarray:
+                     dtype=jnp.bfloat16, states: list | None = None,
+                     return_states: bool = False):
     """Drop-in replacement for arec.models.seq.rnn_scan (cell='lstm'):
-    x [B, L, D], mask [B, L] → top-layer hidden states [B, L, H]."""
+    x [B, L, D], mask [B, L] → top-layer hidden states [B, L, H].
+    `states`: optional per-layer (h0, c0) carries; `return_states=True`
+    additionally returns the per-layer final (hT, cT)."""
     from arec.models.seq import input_projection  # shared xw layout
 
+    b = x.shape[0]
     h = x
-    for p in layers:
+    new_states = []
+    for li, p in enumerate(layers):
         d_in = h.shape[-1]
+        d = p["w"].shape[0] - d_in
         xw = input_projection(p, h, dtype)              # [B, L, 4H]
-        h_all = lstm_layer_pallas(
-            xw.transpose(1, 0, 2), p["w"][d_in:], mask, dtype)
+        if states is not None:
+            h0, c0 = states[li]
+        else:
+            h0 = jnp.zeros((b, d), jnp.float32)
+            c0 = h0
+        h_all, cT = lstm_layer_pallas(
+            xw.transpose(1, 0, 2), p["w"][d_in:], mask, h0, c0, dtype)
+        new_states.append((h_all[-1], cT))
         h = h_all.transpose(1, 0, 2)
+    if return_states:
+        return h, new_states
     return h

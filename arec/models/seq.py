@@ -42,7 +42,8 @@ class SeqSpec:
     user: EncoderSpec | None        # optional user encoder (concat_user)
     cell: str = "lstm"              # {lstm, gru}
     num_layers: int = 1
-    max_seq_len: int = 30
+    max_seq_len: int = 30           # scan segment length
+    train_segments: int = 1         # segments per example (pack_len = n·L)
     num_sampled: int = 256
     sampler: str = "log_uniform"
     keep_prob: float = 1.0
@@ -54,6 +55,11 @@ class SeqSpec:
     @property
     def dim(self) -> int:
         return self.item_in.dim
+
+    @property
+    def pack_len(self) -> int:
+        """Total history length per example (data-packing width)."""
+        return self.max_seq_len * self.train_segments
 
     @property
     def vocab(self) -> int:
@@ -78,6 +84,7 @@ class SeqSpec:
             cell=cfg.model.cell,
             num_layers=cfg.model.num_layers,
             max_seq_len=cfg.model.max_seq_len,
+            train_segments=cfg.model.train_segments,
             num_sampled=cfg.train.num_sampled,
             sampler=cfg.train.sampler,
             keep_prob=cfg.model.keep_prob,
@@ -168,10 +175,17 @@ def gru_step(wh, xw_t, h, c, dtype):
 
 
 def layer_scan(p: dict, cell: str, x: jnp.ndarray, mask: jnp.ndarray,
-               dtype) -> jnp.ndarray:
+               dtype, state: tuple | None = None,
+               return_state: bool = False):
     """One recurrent layer via lax.scan: x [B, L, D] → h_all [B, L, H].
     Masked state updates make pad steps exact no-ops. This is the permanent
-    correctness reference for the Pallas kernel (SURVEY.md §7)."""
+    correctness reference for the Pallas kernel (SURVEY.md §7).
+
+    `state` is an optional (h0, c0) carry-in (each [B, H]) and
+    `return_state=True` additionally returns the final (hT, cT) — the
+    segmented-scan / temporal-pipelining hook (SURVEY.md §5 "Long-context":
+    segment the scan and carry (h, c) across segments). Gradients flow
+    through the carry, so a segmented scan is exactly the unsegmented one."""
     b, L, _ = x.shape
     d = p["w"].shape[0] - x.shape[-1]
     wh = p["w"][x.shape[-1]:]
@@ -187,19 +201,32 @@ def layer_scan(p: dict, cell: str, x: jnp.ndarray, mask: jnp.ndarray,
         c = m * c_new + (1.0 - m) * c
         return (h, c), h
 
-    zeros = jnp.zeros((b, d), jnp.float32)
-    (_, _), out = jax.lax.scan(
-        step, (zeros, zeros),
+    if state is None:
+        zeros = jnp.zeros((b, d), jnp.float32)
+        state = (zeros, zeros)
+    (hT, cT), out = jax.lax.scan(
+        step, state,
         (xw.transpose(1, 0, 2), mask.transpose(1, 0)))
-    return out.transpose(1, 0, 2)
+    out = out.transpose(1, 0, 2)
+    if return_state:
+        return out, (hT, cT)
+    return out
 
 
 def rnn_scan(layers: list[dict], cell: str, x: jnp.ndarray,
-             mask: jnp.ndarray, dtype) -> jnp.ndarray:
-    """Stacked layers; returns top-layer hidden states [B, L, H]."""
+             mask: jnp.ndarray, dtype, states: list | None = None,
+             return_states: bool = False):
+    """Stacked layers; returns top-layer hidden states [B, L, H].
+    `states`: optional per-layer (h0, c0) carries (see layer_scan)."""
     h = x
-    for p in layers:
-        h = layer_scan(p, cell, h, mask, dtype)
+    new_states = []
+    for li, p in enumerate(layers):
+        st = states[li] if states is not None else None
+        h, stT = layer_scan(p, cell, h, mask, dtype, state=st,
+                            return_state=True)
+        new_states.append(stT)
+    if return_states:
+        return h, new_states
     return h
 
 
@@ -223,31 +250,75 @@ def seq_inputs(params, spec: SeqSpec, item_dev, user_dev, batch,
     return x
 
 
+def init_states(spec: SeqSpec, batch_size: int) -> list:
+    """Zero per-layer (h, c) carries for TBPTT / segmented scans."""
+    z = jnp.zeros((batch_size, spec.dim), jnp.float32)
+    return [(z, z) for _ in range(spec.num_layers)]
+
+
 def seq_hidden(params, spec: SeqSpec, item_dev, user_dev, batch,
                lookup_fn=dense_lookup, dropout_rng=None,
-               lookup_fns: dict | None = None) -> jnp.ndarray:
+               lookup_fns: dict | None = None,
+               states: list | None = None, return_states: bool = False):
+    """Top-layer hidden states [B, L, H]. `states`/`return_states` expose the
+    per-layer (h, c) carries — the temporal-pipelining hook (SURVEY.md §5
+    "Long-context"): run segments of a long history through the same jitted
+    graph, carrying state, instead of truncating at L."""
     x = seq_inputs(params, spec, item_dev, user_dev, batch, lookup_fn,
                    dropout_rng, lookup_fns)
     mask = batch["mask"]
     if spec.use_pallas_scan and spec.cell == "lstm":
         from arec.kernels.lstm_scan import pallas_lstm_scan
-        return pallas_lstm_scan(params["rnn"], x, mask, dtype=spec.dtype)
+        return pallas_lstm_scan(params["rnn"], x, mask, dtype=spec.dtype,
+                                states=states, return_states=return_states)
     if spec.use_pallas_scan and spec.cell == "gru":
         from arec.kernels.gru_scan import pallas_gru_scan
-        return pallas_gru_scan(params["rnn"], x, mask, dtype=spec.dtype)
-    return rnn_scan(params["rnn"], spec.cell, x, mask, spec.dtype)
+        return pallas_gru_scan(params["rnn"], x, mask, dtype=spec.dtype,
+                               states=states, return_states=return_states)
+    return rnn_scan(params["rnn"], spec.cell, x, mask, spec.dtype,
+                    states=states, return_states=return_states)
 
 
 def seq_loss(params, spec: SeqSpec, item_dev, user_dev, batch,
              rng: jax.Array, lookup_fn=dense_lookup,
              lookup_fns: dict | None = None,
-             sampled: tuple | None = None) -> jnp.ndarray:
+             sampled: tuple | None = None,
+             states: list | None = None, return_states: bool = False):
     """Sampled-softmax CE over all valid positions (ref losses ce/mce both
-    train every position; SURVEY.md §3.2)."""
+    train every position; SURVEY.md §3.2). With `states`/`return_states`
+    the loss runs one TBPTT segment: the caller carries (and stop-gradients)
+    the returned per-layer states into the next segment's call."""
     lk = lookup_fns or {}
     r_drop, r_neg = jax.random.split(rng)
-    h = seq_hidden(params, spec, item_dev, user_dev, batch, lookup_fn,
-                   dropout_rng=r_drop, lookup_fns=lookup_fns)
+    L, n = spec.max_seq_len, spec.train_segments
+    if n > 1 and batch["inputs"].shape[1] == n * L:
+        # long-history training (SURVEY.md §5 temporal pipelining): scan the
+        # packed n·L history in n carried-(h,c) segments. Gradients flow
+        # through the carries (exact — see layer_scan), and jax.checkpoint
+        # drops each segment's scan residuals, so activation memory is
+        # O(B·L) + recompute instead of O(B·n·L).
+        def seg_fn(p, st, seg, r):
+            return seq_hidden(p, spec, item_dev, user_dev, seg, lookup_fn,
+                              dropout_rng=r, lookup_fns=lookup_fns,
+                              states=st, return_states=True)
+        seg_fn = jax.checkpoint(seg_fn)
+        st = states if states is not None else init_states(
+            spec, batch["inputs"].shape[0])
+        hs = []
+        for s in range(n):
+            seg = dict(batch)
+            seg["inputs"] = batch["inputs"][:, s * L:(s + 1) * L]
+            seg["mask"] = batch["mask"][:, s * L:(s + 1) * L]
+            h_s, st = seg_fn(params, st, seg,
+                             jax.random.fold_in(r_drop, s))
+            hs.append(h_s)
+        h, new_states = jnp.concatenate(hs, axis=1), st
+    else:
+        h = seq_hidden(params, spec, item_dev, user_dev, batch, lookup_fn,
+                       dropout_rng=r_drop, lookup_fns=lookup_fns,
+                       states=states, return_states=return_states)
+        if return_states:
+            h, new_states = h
     b, L, d = h.shape
     flat_h = h.reshape(b * L, d)
     flat_t = batch["targets"].reshape(b * L)
@@ -258,18 +329,47 @@ def seq_loss(params, spec: SeqSpec, item_dev, user_dev, batch,
     else:
         embed = lambda ids: lk.get("out", lookup_fn)(params["item_out"], ids)
     bias = lambda ids: params["out_bias"][ids]
-    return sampled_softmax_loss(
+    loss = sampled_softmax_loss(
         flat_h, flat_t, embed, bias, r_neg, spec.num_sampled, spec.vocab,
         dist=spec.sampler, weights=flat_w, compute_dtype=spec.dtype,
         sampled=sampled)
+    if return_states:
+        return loss, new_states
+    return loss
 
 
 def seq_final_state(params, spec: SeqSpec, item_dev, user_dev, batch,
-                    lookup_fn=dense_lookup) -> jnp.ndarray:
+                    lookup_fn=dense_lookup,
+                    states: list | None = None) -> jnp.ndarray:
     """Recommend path (SURVEY.md §3.3): run the RNN over the user's full
     (truncated) history; with left-padding the state at the last position is
-    the final state."""
-    h = seq_hidden(params, spec, item_dev, user_dev, batch, lookup_fn)
+    the final state. `states` carries segment state for full-history eval
+    (seq_final_state_full)."""
+    h = seq_hidden(params, spec, item_dev, user_dev, batch, lookup_fn,
+                   states=states)
+    return h[:, -1, :]
+
+
+def seq_final_state_full(params, spec: SeqSpec, item_dev, user_dev, batch,
+                         lookup_fn=dense_lookup) -> jnp.ndarray:
+    """Final state over a history of ANY length (SURVEY.md §5 temporal
+    pipelining): batch["inputs"]/["mask"] are [B, n·L]; the scan runs in
+    n segments of the jitted L-length graph, carrying (h, c). With
+    left-padding this is EXACTLY the state of the unsegmented scan."""
+    L = spec.max_seq_len
+    total = batch["inputs"].shape[1]
+    assert total % L == 0, (total, L)
+    n = total // L
+    if n == 1:
+        return seq_final_state(params, spec, item_dev, user_dev, batch,
+                               lookup_fn)
+    states = init_states(spec, batch["inputs"].shape[0])
+    for s in range(n):
+        seg = dict(batch)
+        seg["inputs"] = batch["inputs"][:, s * L:(s + 1) * L]
+        seg["mask"] = batch["mask"][:, s * L:(s + 1) * L]
+        h, states = seq_hidden(params, spec, item_dev, user_dev, seg,
+                               lookup_fn, states=states, return_states=True)
     return h[:, -1, :]
 
 

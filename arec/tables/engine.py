@@ -130,6 +130,27 @@ class EncoderSpec:
     def gather_cat_fields(self):
         return [f for f in self.cat_fields if not self._is_dense(f)]
 
+    def is_identity(self, f) -> bool:
+        """True for the entity-ID field: its entity→value map is the
+        identity (prep contract — schema.py AttributeData.id_identity), so
+        its fused row ids are computed ARITHMETICALLY (flat + offset) instead
+        of through an indirection gather. On TPU the 1-wide s32 gather was a
+        measured 0.12 ms/step at batch 16k — as expensive as a full table
+        scatter — and this removes it entirely. attrs_to_device asserts the
+        data really is the identity before the column is dropped."""
+        return (f is self.schema.fields[0] and f.kind == CAT
+                and f.vocab_size == self.schema.num_entities)
+
+    @property
+    def identity_cat_fields(self):
+        return [f for f in self.gather_cat_fields if self.is_identity(f)]
+
+    @property
+    def gathered_cat_fields(self):
+        """Large-vocab cat fields that still need the indirection gather
+        (columns of attr_dev["cat"], in this order)."""
+        return [f for f in self.gather_cat_fields if not self.is_identity(f)]
+
     @property
     def gather_mulhot_fields(self):
         return [f for f in self.mulhot_fields if not self._is_dense(f)]
@@ -170,9 +191,14 @@ def attrs_to_device(attrs: AttributeData,
     n = attrs.schema.num_entities
     out: dict[str, jnp.ndarray] = {}
 
-    if spec.gather_cat_fields:
+    for f in spec.identity_cat_fields:
+        assert np.array_equal(attrs.values[f.name],
+                              np.arange(n, dtype=np.int32)), (
+            f"{f.name}: schema position 0 with vocab == num_entities must be "
+            f"the identity map (schema.py id_identity prep contract)")
+    if spec.gathered_cat_fields:
         cat_cols = []
-        for f in spec.gather_cat_fields:
+        for f in spec.gathered_cat_fields:
             v = attrs.values[f.name].astype(np.int64) + offsets[f.name]
             v = np.concatenate([v, [offsets[f.name] + f.pad_index]])
             cat_cols.append(v)
@@ -229,10 +255,23 @@ def encode(
     table = params["tables"][FUSED]
     d = spec.dim
 
-    # one gather for every large-vocab cat attribute
+    # one gather for every large-vocab cat attribute. Entity-ID fields skip
+    # the indirection map: their fused row id is flat + offset (see
+    # EncoderSpec.is_identity).
     cat_rows = None
     if spec.gather_cat_fields:
-        cat_ids = attr_dev["cat"][flat]                     # [N, n_cat]
+        offsets = spec.field_offsets()
+        gathered = attr_dev["cat"][flat] if spec.gathered_cat_fields else None
+        cols, gi = [], 0
+        for f in spec.gather_cat_fields:
+            if spec.is_identity(f):
+                off = offsets[f.name]
+                cols.append(jnp.where(flat < f.vocab_size, flat + off,
+                                      off + f.pad_index).astype(jnp.int32))
+            else:
+                cols.append(gathered[:, gi])
+                gi += 1
+        cat_ids = jnp.stack(cols, axis=1)                   # [N, n_cat]
         cat_rows = lookup_fn(table, cat_ids.reshape(-1))
         cat_rows = cat_rows.reshape(*cat_ids.shape, d)      # [N, n_cat, D]
 
@@ -305,7 +344,13 @@ def gather_row_ids(spec: EncoderSpec, attr_dev: dict, ids: jnp.ndarray
     flat = ids.reshape(-1)
     parts = []
     if spec.gather_cat_fields:
-        parts.append(attr_dev["cat"][flat].reshape(-1))
+        offsets = spec.field_offsets()
+        for f in spec.identity_cat_fields:
+            off = offsets[f.name]
+            parts.append(jnp.where(flat < f.vocab_size, flat + off,
+                                   off + f.pad_index).astype(jnp.int32))
+        if spec.gathered_cat_fields:
+            parts.append(attr_dev["cat"][flat].reshape(-1))
     if spec.gather_mulhot_fields:
         m = attr_dev["mul"][flat].reshape(-1)
         parts.append(jnp.where(m >= 0, m, 0))

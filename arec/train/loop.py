@@ -45,7 +45,8 @@ from arec.train.checkpoint import Checkpointer, abstract_like
 from arec.train.evalu import recall_hits
 from arec.train.metrics import MetricLogger
 from arec.train.step import (
-    TrainState, decay_lr, init_state, make_optimizer, make_train_step,
+    TrainState, decay_lr, init_state, make_multi_step, make_optimizer,
+    make_train_step,
 )
 
 
@@ -135,6 +136,23 @@ class Trainer:
                 self.step_fn = make_train_step(loss_fn, self.opt,
                                                cfg.train.learning_rate)
 
+        # K steps per dispatch (dense single-device path only; the sharded
+        # step is GSPMD-jitted with explicit shardings and the sparse step
+        # threads a packed state — both keep K=1)
+        self.dispatch_k = cfg.train.steps_per_dispatch
+        if self.dispatch_k > 1 and (self.use_mesh or self.sparse):
+            print("[config] steps_per_dispatch ignored on the "
+                  f"{'mesh' if self.use_mesh else 'sparse'} path", flush=True)
+            self.dispatch_k = 1
+        if self.dispatch_k > 1:
+            if cfg.train.steps_per_checkpoint % self.dispatch_k:
+                raise ValueError(
+                    "steps_per_checkpoint must be a multiple of "
+                    "steps_per_dispatch "
+                    f"({cfg.train.steps_per_checkpoint} % {self.dispatch_k})")
+            self.multi_step_fn = make_multi_step(
+                self._loss_fn(), self.opt, cfg.train.learning_rate)
+
         self.ckpt = Checkpointer(cfg.train.train_dir)
         self.metrics = MetricLogger(cfg.train.train_dir)
         self.start_epoch = 0
@@ -193,7 +211,7 @@ class Trainer:
         t = self.cfg.train
         if self.is_seq:
             return seq_batches(self.ds, t.batch_size,
-                               self.spec.max_seq_len, t.seed, epoch,
+                               self.spec.pack_len, t.seed, epoch,
                                self.host_id, self.num_hosts)
         return mf_batches(self.ds, t.batch_size, t.seed, epoch,
                           self.host_id, self.num_hosts)
@@ -216,7 +234,7 @@ class Trainer:
     def _queries(self, batch):
         params = self._eval_params()
         if self.is_seq:
-            return seq_mod.seq_final_state(
+            return seq_mod.seq_final_state_full(
                 params, self.spec, self.item_dev, self.user_dev, batch)
         return mf_mod.mf_user_latents(
             params, self.spec, self.user_dev, batch["user"])
@@ -228,7 +246,7 @@ class Trainer:
         v, b = jax.device_get(v), jax.device_get(b)  # freeze for the sweep
         v, b = jnp.asarray(v), jnp.asarray(b)
         hits = total = 0.0
-        L = self.spec.max_seq_len if self.is_seq else 0
+        L = self.spec.pack_len if self.is_seq else 0
         for batch in eval_batches(self.ds, 256, max_seq_len=L):
             jb = {kk: jnp.asarray(x) for kk, x in batch.items()}
             q = self._queries(jb)
@@ -252,7 +270,7 @@ class Trainer:
             from arec.train.evalu import topk_with_mask
             topk = partial(topk_with_mask, k=k)
         rows = []
-        L = self.spec.max_seq_len if self.is_seq else 0
+        L = self.spec.pack_len if self.is_seq else 0
         for batch in eval_batches(self.ds, 256, max_seq_len=L):
             jb = {kk: jnp.asarray(x) for kk, x in batch.items()}
             q = self._queries(jb)
@@ -305,48 +323,90 @@ class Trainer:
         profiler = StepProfiler()
         stop = False
         skip = getattr(self, "start_step_in_epoch", 0)
+        K = self.dispatch_k
+        state = {"step_in_epoch": 0, "epoch": self.start_epoch}
+
+        def after_step(loss, lr):
+            """Counters + periodic checkpoint/eval/plateau-decay
+            (SURVEY.md §3.1). Returns True when max_steps is reached."""
+            nonlocal steps_done, ex_since, t_since, best_recall, prev_loss
+            window.append(loss)
+            ex_since += t.batch_size
+            steps_done += 1
+            state["step_in_epoch"] += 1
+            if steps_done % t.steps_per_checkpoint == 0:
+                jax.block_until_ready(self.state.params)
+                dt = time.time() - t_since
+                mean_loss = float(jnp.mean(jnp.stack(window)))
+                recall = self.evaluate()
+                best_recall = max(best_recall, recall)
+                self.metrics.log(
+                    steps_done, loss=mean_loss,
+                    recall_at_k=recall, lr=float(lr),
+                    examples_per_s=ex_since / dt,
+                    examples_per_s_per_chip=ex_since / dt
+                    / max(jax.device_count(), 1))
+                # plateau decay (ref: --learning_rate_decay_factor)
+                if mean_loss > prev_loss:
+                    self.state = decay_lr(self.state, t.lr_decay)
+                prev_loss = mean_loss
+                window.clear()
+                ex_since, t_since = 0, time.time()
+                self.ckpt.save(steps_done, self.state,
+                               {"epoch": state["epoch"],
+                                "step_in_epoch": state["step_in_epoch"]},
+                               self.cfg.to_json())
+            return bool(t.max_steps and steps_done >= t.max_steps)
+
         for epoch in range(self.start_epoch, t.n_epoch):
             batches = self._batches(epoch)
-            step_in_epoch = 0
+            state["epoch"], state["step_in_epoch"] = epoch, 0
             if skip:
                 import itertools
                 batches = itertools.islice(batches, skip, None)
-                step_in_epoch = skip
+                state["step_in_epoch"] = skip
                 skip = 0
             # native-packed batches staged to device a step ahead of compute
-            for jb in prefetch(batches, depth=2,
-                               transform=to_device()):
-                sub = jax.random.fold_in(base_rng, steps_done)
-                profiler.on_step(steps_done)
-                self.state, m = self.step_fn(self.state, jb, sub)
-                window.append(m["loss"])
-                ex_since += t.batch_size
-                steps_done += 1
-                step_in_epoch += 1
-                if steps_done % t.steps_per_checkpoint == 0:
-                    jax.block_until_ready(self.state.params)
-                    dt = time.time() - t_since
-                    loss = float(jnp.mean(jnp.stack(window)))
-                    recall = self.evaluate()
-                    best_recall = max(best_recall, recall)
-                    self.metrics.log(
-                        steps_done, loss=loss,
-                        recall_at_k=recall, lr=float(m["lr"]),
-                        examples_per_s=ex_since / dt,
-                        examples_per_s_per_chip=ex_since / dt
-                        / max(jax.device_count(), 1))
-                    # plateau decay (ref: --learning_rate_decay_factor)
-                    if loss > prev_loss:
-                        self.state = decay_lr(self.state, t.lr_decay)
-                    prev_loss = loss
-                    window, ex_since, t_since = [], 0, time.time()
-                    self.ckpt.save(steps_done, self.state,
-                                   {"epoch": epoch,
-                                    "step_in_epoch": step_in_epoch},
-                                   self.cfg.to_json())
-                if t.max_steps and steps_done >= t.max_steps:
-                    stop = True
+            it = prefetch(batches, depth=max(2, K + 1), transform=to_device())
+            pending = []
+            for jb in it:
+                pending.append(jb)
+                # dispatch K steps at once only from a K-aligned global step
+                # (keeps exactly two compiled programs: the K-scan + the
+                # single step used for fill-in at epoch/max_steps edges)
+                aligned = K > 1 and steps_done % K == 0
+                room = (t.max_steps - steps_done) if t.max_steps else K
+                if aligned and room >= K:
+                    if len(pending) < K:
+                        continue
+                    subs = jax.vmap(
+                        lambda i: jax.random.fold_in(base_rng, i))(
+                        jnp.arange(steps_done, steps_done + K))
+                    stacked = {kk: jnp.stack([p[kk] for p in pending])
+                               for kk in pending[0]}
+                    profiler.on_step(steps_done)
+                    self.state, ms = self.multi_step_fn(self.state, stacked,
+                                                        subs)
+                    pending = []
+                    for i in range(K):
+                        stop = after_step(ms["loss"][i], ms["lr"][i])
+                        if stop:
+                            break
+                else:
+                    jb = pending.pop(0)
+                    sub = jax.random.fold_in(base_rng, steps_done)
+                    profiler.on_step(steps_done)
+                    self.state, m = self.step_fn(self.state, jb, sub)
+                    stop = after_step(m["loss"], m["lr"])
+                if stop:
                     break
+            # epoch tail: fewer than K batches buffered
+            for jb in pending:
+                if stop:
+                    break
+                sub = jax.random.fold_in(base_rng, steps_done)
+                self.state, m = self.step_fn(self.state, jb, sub)
+                stop = after_step(m["loss"], m["lr"])
             if stop:
                 break
         profiler.close()

@@ -53,14 +53,13 @@ def init_state(params, opt: optax.GradientTransformation) -> TrainState:
     )
 
 
-def make_train_step(
+def make_step_core(
     loss_fn: Callable[..., jnp.ndarray],
     opt: optax.GradientTransformation,
     base_lr: float,
-    donate: bool = True,
 ) -> Callable:
-    """loss_fn(params, batch, rng) -> scalar. Returns jitted
-    step(state, batch, rng) -> (state, metrics)."""
+    """The pure (un-jitted) step: loss_fn(params, batch, rng) -> scalar,
+    returns step(state, batch, rng) -> (state, metrics)."""
 
     def step(state: TrainState, batch, rng):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
@@ -74,7 +73,45 @@ def make_train_step(
         return new_state, {"loss": loss, "grad_norm": gnorm,
                            "lr": base_lr * state.lr_scale}
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    return step
+
+
+def make_train_step(
+    loss_fn: Callable[..., jnp.ndarray],
+    opt: optax.GradientTransformation,
+    base_lr: float,
+    donate: bool = True,
+) -> Callable:
+    """Jitted single step(state, batch, rng) -> (state, metrics)."""
+    return jax.jit(make_step_core(loss_fn, opt, base_lr),
+                   donate_argnums=(0,) if donate else ())
+
+
+def make_multi_step(
+    loss_fn: Callable[..., jnp.ndarray],
+    opt: optax.GradientTransformation,
+    base_lr: float,
+    donate: bool = True,
+) -> Callable:
+    """K optimizer steps per dispatch: multi(state, batches, rngs) where
+    every leaf of `batches` and `rngs` is stacked on a leading K axis.
+    One lax.scan = one XLA program = one host→device dispatch, so per-step
+    launch latency (measured ~0.6 ms/step over a remote-TPU tunnel, ~25% of
+    step time at batch 16k) is amortized K-fold. Step-for-step identical to
+    K calls of make_train_step: same rng per global step, same update
+    order — so checkpoints/resume/metrics are unaffected."""
+    core = make_step_core(loss_fn, opt, base_lr)
+
+    def multi(state: TrainState, batches, rngs):
+        def body(st, inp):
+            b, r = inp
+            st, m = core(st, b, r)
+            return st, m
+
+        state, ms = jax.lax.scan(body, state, (batches, rngs))
+        return state, ms   # each metric is a [K] array
+
+    return jax.jit(multi, donate_argnums=(0,) if donate else ())
 
 
 def decay_lr(state: TrainState, factor: float) -> TrainState:

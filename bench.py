@@ -29,12 +29,15 @@ from arec.data.dataset import mf_batches
 from arec.data.io import load_or_prepare
 from arec.models.mf import MFSpec, init_mf, mf_loss
 from arec.tables.engine import attrs_to_device
-from arec.train.step import init_state, make_optimizer, make_train_step
+from arec.train.step import init_state, make_multi_step, make_optimizer
 
 # batch 16384 saturates the chip (measured: 1.43M ex/s @4096, 2.76M @16384,
 # 2.68M @65536 — dispatch overhead amortizes by 16k and HBM takes over)
 BATCH = 16384
-WARMUP, STEPS = 5, 50
+K = 8          # steps per dispatch (train.steps_per_dispatch): one lax.scan
+               # jit per K steps removes the ~0.6 ms/step launch latency of
+               # the remote-TPU tunnel (device busy time is ~1.8 ms/step)
+WARMUP, STEPS = 2, 12  # in units of K-step dispatches
 
 
 def main() -> None:
@@ -58,29 +61,39 @@ def main() -> None:
     def loss_fn(p, batch, rng):
         return mf_loss(p, spec, user_dev, item_dev, batch, rng)
 
-    step = make_train_step(loss_fn, opt, cfg.train.learning_rate)
+    step = make_multi_step(loss_fn, opt, cfg.train.learning_rate)
 
-    # pre-stage a ring of device batches so host time is out of the loop
-    ring = []
-    for i, b in enumerate(mf_batches(ds, BATCH, 0, 0)):
-        ring.append({k: jnp.asarray(v) for k, v in b.items()})
-        if i >= 15:
+    # pre-stage two K-stacked dispatch blocks of device batches so host time
+    # is out of the loop
+    blocks, cur = [], []
+    for b in mf_batches(ds, BATCH, 0, 0):
+        cur.append(b)
+        if len(cur) == K:
+            blocks.append({k: jnp.stack([jnp.asarray(x[k]) for x in cur])
+                           for k in cur[0]})
+            cur = []
+        if len(blocks) == 2:
             break
-    rng = jax.random.key(1)
+    base = jax.random.key(1)
+    gstep = 0
+
+    def subs(g):
+        return jax.vmap(lambda i: jax.random.fold_in(base, i))(
+            jnp.arange(g, g + K))
 
     for i in range(WARMUP):
-        rng, sub = jax.random.split(rng)
-        state, m = step(state, ring[i % len(ring)], sub)
+        state, m = step(state, blocks[i % len(blocks)], subs(gstep))
+        gstep += K
     jax.block_until_ready(state.params)
 
     t0 = time.perf_counter()
     for i in range(STEPS):
-        rng, sub = jax.random.split(rng)
-        state, m = step(state, ring[i % len(ring)], sub)
+        state, m = step(state, blocks[i % len(blocks)], subs(gstep))
+        gstep += K
     jax.block_until_ready(state.params)
     dt = time.perf_counter() - t0
 
-    eps = BATCH * STEPS / dt / max(jax.local_device_count(), 1)
+    eps = BATCH * K * STEPS / dt / max(jax.local_device_count(), 1)
 
     floor = None
     if os.path.exists("BENCH_FLOOR.json"):

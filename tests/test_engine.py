@@ -163,3 +163,21 @@ def test_dense_and_gather_mulhot_paths_agree():
     np.testing.assert_allclose(np.asarray(g_d["tables"]["__fused__"]),
                                np.asarray(g_g["tables"]["__fused__"]),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_identity_contract_enforced():
+    """The entity-ID field's arithmetic lookup rests on the prep contract
+    that its value map is the identity (schema.py id_identity);
+    attrs_to_device must refuse data that violates it rather than silently
+    encoding wrong rows."""
+    schema, attrs = _schema_and_attrs()
+    spec = EncoderSpec(schema, DIM, dense_mulhot_threshold=0)
+    assert [f.name for f in spec.identity_cat_fields] == ["item_id"]
+    bad = AttributeData(
+        schema,
+        {**attrs.values,
+         "item_id": np.roll(attrs.values["item_id"], 1)},
+        attrs.lengths,
+    )
+    with pytest.raises(AssertionError, match="identity"):
+        attrs_to_device(bad, spec)

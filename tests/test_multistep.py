@@ -1,0 +1,58 @@
+"""steps_per_dispatch (K steps per jitted dispatch via lax.scan) must be
+step-for-step IDENTICAL to the single-step path: same per-step rng (fold_in
+on the global step), same update order, same final parameters."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from arec.config import Config, DataConfig, ModelConfig, TrainConfig
+from arec.train.loop import Trainer
+
+
+def _cfg(tmp, k, max_steps=0, n_epoch=2):
+    return Config(
+        data=DataConfig(syn_users=120, syn_items=90, syn_interactions=3000,
+                        data_dir=str(tmp / "data")),
+        model=ModelConfig(model="mf", dim=16, use_attributes=True),
+        train=TrainConfig(batch_size=32, num_sampled=16, n_epoch=n_epoch,
+                          steps_per_checkpoint=8, steps_per_dispatch=k,
+                          max_steps=max_steps, compute_dtype="float32",
+                          train_dir=str(tmp / f"train_k{k}")),
+    )
+
+
+def _params_vec(state):
+    return np.concatenate([np.asarray(x).ravel()
+                           for x in jax.tree_util.tree_leaves(state.params)])
+
+
+def test_multi_dispatch_matches_single(tmp_path):
+    t1 = Trainer(_cfg(tmp_path, 1))
+    r1 = t1.train()
+    t4 = Trainer(_cfg(tmp_path, 4))
+    r4 = t4.train()
+    assert r1["steps"] == r4["steps"]
+    np.testing.assert_allclose(_params_vec(t4.state), _params_vec(t1.state),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(r4["recall_at_k"], r1["recall_at_k"],
+                               rtol=1e-6)
+
+
+def test_multi_dispatch_max_steps_edge(tmp_path):
+    """max_steps not a multiple of K: the tail runs on the single-step path
+    and stops exactly at max_steps."""
+    tr = Trainer(_cfg(tmp_path, 4, max_steps=10, n_epoch=5))
+    out = tr.train()
+    assert out["steps"] == 10
+    ts = Trainer(_cfg(tmp_path, 1, max_steps=10, n_epoch=5))
+    ref = ts.train()
+    np.testing.assert_allclose(_params_vec(tr.state), _params_vec(ts.state),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_checkpoint_cadence_validated(tmp_path):
+    cfg = _cfg(tmp_path, 3)  # 8 % 3 != 0
+    with pytest.raises(ValueError, match="steps_per_checkpoint"):
+        Trainer(cfg)
