@@ -4,16 +4,20 @@ Rebuild of the reference's loss set (SURVEY.md §2.1 "MF losses": {ce, warp,
 bpr} plus batch variants {mw, bbpr} from the AAAI'18 batch-ranking paper;
 LSTM: sampled_softmax in training, full softmax at eval — SURVEY.md §3.2).
 
-All losses are pure functions of (query latents, candidate latents/bias)
+All losses are pure functions of (query latents, candidate latents + bias)
 and run entirely on-device inside the jitted step. The big matmuls
 (logits = Q·Vᵀ) are MXU-shaped: [N, D] × [D, S] in the caller-chosen compute
 dtype (bfloat16 by default) with float32 accumulation.
 
-Candidate-side encoding is abstracted as `embed(ids) -> [n, D]` /
-`bias(ids) -> [n]` callables so the same losses serve both families:
-  * MF: embed = fused attribute encoder over candidate ids (hybrid scoring).
-  * LSTM: embed = the dedicated item output table (TF1
-    sampled_softmax_loss weights analog).
+Candidate-side encoding is abstracted as ONE `embed(ids) -> (v [n, D],
+bias [n])` callable so the same losses serve both families — and so the
+per-candidate bias arrives in the SAME row gather as the embedding (a
+separate [V] bias array costs a row-op-bound 1-D gather + scatter on TPU,
+measured 0.23 ms/step at batch 16k; see EncoderSpec.with_bias):
+  * MF: embed = fused attribute encoder over candidate ids (hybrid scoring),
+    bias = column D of the entity-ID row.
+  * LSTM: embed = the dedicated item output table (TF1 sampled_softmax_loss
+    weights analog), bias = its column D.
 """
 
 from __future__ import annotations
@@ -25,8 +29,8 @@ import jax.numpy as jnp
 
 from arec.losses.sampling import draw
 
-Embed = Callable[[jnp.ndarray], jnp.ndarray]
-Bias = Callable[[jnp.ndarray], jnp.ndarray]
+# embed(ids) -> (latents [n, D], bias [n])
+EmbedBias = Callable[[jnp.ndarray], tuple[jnp.ndarray, jnp.ndarray]]
 
 _NEG_INF = -1e9
 
@@ -51,8 +55,7 @@ def _rowdot(q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
 def sampled_softmax_loss(
     query: jnp.ndarray,            # [N, D] user/state latents
     true_ids: jnp.ndarray,         # [N] int32
-    embed: Embed,
-    bias: Bias,
+    embed: EmbedBias,
     rng: jax.Array,
     num_sampled: int,
     vocab: int,
@@ -77,25 +80,24 @@ def sampled_softmax_loss(
     sampled_ids, p = sampled if sampled is not None else draw(
         rng, num_sampled, vocab, dist)
 
-    v_true = embed(true_ids)                       # [N, D]
-    v_samp = embed(sampled_ids)                    # [S, D]
+    v_true, b_true = embed(true_ids)               # [N, D], [N]
+    v_samp, b_samp = embed(sampled_ids)            # [S, D], [S]
 
     if use_kernel is None:
         use_kernel = False
     if use_kernel and remove_accidental_hits:
         from arec.kernels.sampled_softmax import fused_sampled_ce
-        c_samp = bias(sampled_ids) - jnp.log(num_sampled * p)
-        tl_base = bias(true_ids) - jnp.log(
-            num_sampled * _p_of(true_ids, p, sampled_ids, vocab, dist))
+        c_samp = b_samp - jnp.log(num_sampled * p)
+        tl_base = b_true - jnp.log(
+            num_sampled * _p_of(true_ids, vocab, dist))
         ce = fused_sampled_ce(query, v_true, v_samp, c_samp, tl_base,
                               true_ids, sampled_ids, 256, compute_dtype)
     else:
-        true_logit = _rowdot(query, v_true) + bias(true_ids)
+        true_logit = _rowdot(query, v_true) + b_true
         true_logit = true_logit - jnp.log(
-            num_sampled * _p_of(true_ids, p, sampled_ids, vocab, dist))
+            num_sampled * _p_of(true_ids, vocab, dist))
 
-        samp_logits = (_matmul(query, v_samp, compute_dtype)
-                       + bias(sampled_ids)[None, :])
+        samp_logits = _matmul(query, v_samp, compute_dtype) + b_samp[None, :]
         samp_logits = samp_logits - jnp.log(num_sampled * p)[None, :]
 
         if remove_accidental_hits:
@@ -109,9 +111,8 @@ def sampled_softmax_loss(
     return jnp.sum(ce * weights) / jnp.maximum(jnp.sum(weights), 1.0)
 
 
-def _p_of(ids, p_sampled, sampled_ids, vocab, dist):
+def _p_of(ids, vocab, dist):
     """Proposal probability of arbitrary ids under the chosen sampler."""
-    del p_sampled, sampled_ids
     from arec.losses.sampling import log_uniform_prob
     if dist == "log_uniform":
         return log_uniform_prob(ids, vocab)
@@ -141,7 +142,7 @@ def full_softmax_loss(
 # --------------------------------------------------------------------------
 
 def warp_loss(
-    query, true_ids, embed, bias, rng, num_sampled, vocab,
+    query, true_ids, embed: EmbedBias, rng, num_sampled, vocab,
     dist: str = "uniform", margin: float = 1.0, compute_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
     """WARP with parallel sampled rank estimation: with S uniform negative
@@ -149,10 +150,10 @@ def warp_loss(
     ≈ (V−1)·m/S; loss = Φ(rank)·mean hinge, Φ(r) = log(1+r) (Weston et al.
     2011, batch approximation as in the reference's warp branch)."""
     sampled_ids, _ = draw(rng, num_sampled, vocab, dist)
-    v_true = embed(true_ids)
-    v_samp = embed(sampled_ids)
-    pos = _rowdot(query, v_true) + bias(true_ids)                  # [N]
-    neg = _matmul(query, v_samp, compute_dtype) + bias(sampled_ids)[None, :]
+    v_true, b_true = embed(true_ids)
+    v_samp, b_samp = embed(sampled_ids)
+    pos = _rowdot(query, v_true) + b_true                          # [N]
+    neg = _matmul(query, v_samp, compute_dtype) + b_samp[None, :]
     hit = sampled_ids[None, :] == true_ids[:, None]
     hinge = jnp.maximum(0.0, margin + neg - pos[:, None])
     hinge = jnp.where(hit, 0.0, hinge)
@@ -165,15 +166,15 @@ def warp_loss(
 
 
 def bpr_loss(
-    query, true_ids, embed, bias, rng, num_sampled, vocab,
+    query, true_ids, embed: EmbedBias, rng, num_sampled, vocab,
     dist: str = "uniform", compute_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
     """BPR (Rendle 2009): −log σ(pos − neg) over sampled negatives."""
     sampled_ids, _ = draw(rng, num_sampled, vocab, dist)
-    v_true = embed(true_ids)
-    v_samp = embed(sampled_ids)
-    pos = _rowdot(query, v_true) + bias(true_ids)
-    neg = _matmul(query, v_samp, compute_dtype) + bias(sampled_ids)[None, :]
+    v_true, b_true = embed(true_ids)
+    v_samp, b_samp = embed(sampled_ids)
+    pos = _rowdot(query, v_true) + b_true
+    neg = _matmul(query, v_samp, compute_dtype) + b_samp[None, :]
     hit = sampled_ids[None, :] == true_ids[:, None]
     ll = jax.nn.log_sigmoid(pos[:, None] - neg)
     ll = jnp.where(hit, 0.0, ll)
@@ -187,31 +188,31 @@ def bpr_loss(
 # --------------------------------------------------------------------------
 
 def batch_mw_loss(
-    query, true_ids, embed, bias,
+    query, true_ids, embed: EmbedBias,
     vocab: int, margin: float = 1.0, compute_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
     """`mw`: margin + rank-weighted hinge over the in-batch score matrix;
     positives sit on the diagonal, every other column is a negative."""
-    v = embed(true_ids)                                            # [B, D]
-    scores = _matmul(query, v, compute_dtype) + bias(true_ids)[None, :]
+    v, b = embed(true_ids)                                         # [B, D]
+    scores = _matmul(query, v, compute_dtype) + b[None, :]
     pos = jnp.diagonal(scores)
     same = true_ids[None, :] == true_ids[:, None]                  # dup-pos mask
     hinge = jnp.maximum(0.0, margin + scores - pos[:, None])
     hinge = jnp.where(same, 0.0, hinge)
-    b = query.shape[0]
+    bsz = query.shape[0]
     m = (hinge > 0).sum(axis=1).astype(jnp.float32)
-    rank = (vocab - 1) * m / jnp.maximum(b - 1, 1)
+    rank = (vocab - 1) * m / jnp.maximum(bsz - 1, 1)
     phi = jnp.log1p(rank)
     mean_hinge = hinge.sum(axis=1) / jnp.maximum(m, 1.0)
     return (phi * mean_hinge).mean()
 
 
 def batch_bpr_loss(
-    query, true_ids, embed, bias, compute_dtype=jnp.bfloat16,
+    query, true_ids, embed: EmbedBias, compute_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
     """`bbpr`: BPR over the in-batch score matrix."""
-    v = embed(true_ids)
-    scores = _matmul(query, v, compute_dtype) + bias(true_ids)[None, :]
+    v, b = embed(true_ids)
+    scores = _matmul(query, v, compute_dtype) + b[None, :]
     pos = jnp.diagonal(scores)
     same = true_ids[None, :] == true_ids[:, None]
     ll = jax.nn.log_sigmoid(pos[:, None] - scores)

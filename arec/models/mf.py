@@ -5,12 +5,14 @@ model", §3.1): user latent = fusion of user-attribute embeddings (user ID is
 attribute 0), item latent = fusion of item-attribute embeddings, score =
 dot(u, v) + item_bias. "Hybrid" = IDs and attributes jointly embedded.
 
-Model state is one flat pytree:
-    {"user": encoder params, "item": encoder params, "item_bias": [V+1]}
-so sharding annotations, optimizers, and checkpointing all operate on plain
-arrays. The candidate-side `embed` used by every loss is the fused item
-encoder itself — scoring a candidate always goes through attribute fusion,
-which is what makes attribute-aware configs (BASELINE.json:8) learn.
+Model state is one flat pytree: {"user": encoder params, "item": encoder
+params} so sharding annotations, optimizers, and checkpointing all operate
+on plain arrays. The candidate-side `embed` used by every loss is the fused
+item encoder itself — scoring a candidate always goes through attribute
+fusion, which is what makes attribute-aware configs (BASELINE.json:8) learn.
+The per-item score bias lives in the bias column of the item encoder's
+fused table (EncoderSpec.with_bias) so its lookup and gradient ride the item
+row gather — there is no separate [V] bias array anywhere in the step.
 """
 
 from __future__ import annotations
@@ -26,7 +28,8 @@ from arec.losses.losses import (
     batch_bpr_loss, batch_mw_loss, bpr_loss, sampled_softmax_loss, warp_loss,
 )
 from arec.tables.engine import (
-    EncoderSpec, dense_lookup, encode, encode_all_items, init_encoder,
+    EncoderSpec, dense_lookup, encode, encode_all_items_with_bias,
+    encode_with_bias, init_encoder,
 )
 
 
@@ -46,11 +49,12 @@ class MFSpec:
         if not cfg.model.use_attributes:
             user_schema = user_schema.id_only()
             item_schema = item_schema.id_only()
-        mk = lambda s: EncoderSpec(
+        mk = lambda s, wb=False: EncoderSpec(
             s, cfg.model.dim, cfg.model.fusion, cfg.model.nonlinear,
+            with_bias=wb,
             dense_mulhot_threshold=cfg.model.dense_vocab_threshold)
         return MFSpec(
-            user=mk(user_schema), item=mk(item_schema),
+            user=mk(user_schema), item=mk(item_schema, wb=True),
             loss=cfg.train.loss, num_sampled=cfg.train.num_sampled,
             sampler=cfg.train.sampler,
             keep_prob=cfg.model.keep_prob,
@@ -67,7 +71,6 @@ def init_mf(key: jax.Array, spec: MFSpec) -> dict:
     return {
         "user": init_encoder(ku, spec.user),
         "item": init_encoder(ki, spec.item),
-        "item_bias": jnp.zeros((spec.item.schema.num_entities + 1,)),
     }
 
 
@@ -89,26 +92,25 @@ def mf_loss(
     u = encode(params["user"], spec.user, user_dev, batch["user"],
                lk.get("user", lookup_fn),
                dropout_rng=r_drop, keep_prob=spec.keep_prob)
-    embed = lambda ids: encode(params["item"], spec.item, item_dev, ids,
-                               lk.get("item", lookup_fn))
-    bias = lambda ids: params["item_bias"][ids]
+    embed = lambda ids: encode_with_bias(params["item"], spec.item, item_dev,
+                                         ids, lk.get("item", lookup_fn))
     pos = batch["pos_item"]
     vocab = spec.item.schema.num_entities
 
     if spec.loss == "ce":
         return sampled_softmax_loss(
-            u, pos, embed, bias, r_neg, spec.num_sampled, vocab,
+            u, pos, embed, r_neg, spec.num_sampled, vocab,
             dist=spec.sampler, compute_dtype=spec.dtype, sampled=sampled)
     if spec.loss == "warp":
-        return warp_loss(u, pos, embed, bias, r_neg, spec.num_sampled, vocab,
+        return warp_loss(u, pos, embed, r_neg, spec.num_sampled, vocab,
                          compute_dtype=spec.dtype)
     if spec.loss == "bpr":
-        return bpr_loss(u, pos, embed, bias, r_neg, spec.num_sampled, vocab,
+        return bpr_loss(u, pos, embed, r_neg, spec.num_sampled, vocab,
                         compute_dtype=spec.dtype)
     if spec.loss == "mw":
-        return batch_mw_loss(u, pos, embed, bias, vocab, compute_dtype=spec.dtype)
+        return batch_mw_loss(u, pos, embed, vocab, compute_dtype=spec.dtype)
     if spec.loss == "bbpr":
-        return batch_bpr_loss(u, pos, embed, bias, compute_dtype=spec.dtype)
+        return batch_bpr_loss(u, pos, embed, compute_dtype=spec.dtype)
     raise ValueError(f"unknown mf loss {spec.loss!r}")
 
 
@@ -118,6 +120,5 @@ def mf_user_latents(params, spec: MFSpec, user_dev, user_ids, lookup_fn=dense_lo
 
 def mf_item_latents(params, spec: MFSpec, item_dev, block: int = 8192):
     """All-item latent matrix + bias for full-softmax eval / retrieval."""
-    v = encode_all_items(params["item"], spec.item, item_dev, block=block)
-    b = params["item_bias"][: spec.item.schema.num_entities]
-    return v, b
+    return encode_all_items_with_bias(params["item"], spec.item, item_dev,
+                                      block=block)

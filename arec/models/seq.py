@@ -33,7 +33,9 @@ import jax.numpy as jnp
 from arec.config import Config
 from arec.data.schema import EntitySchema
 from arec.losses.losses import sampled_softmax_loss
-from arec.tables.engine import EncoderSpec, dense_lookup, encode, init_encoder
+from arec.tables.engine import (
+    EncoderSpec, dense_lookup, encode, encode_with_bias, init_encoder,
+)
 
 
 @dataclass(frozen=True)
@@ -75,11 +77,14 @@ class SeqSpec:
         if not cfg.model.use_attributes:
             item_schema = item_schema.id_only()
             user_schema = user_schema.id_only()
-        mk = lambda s: EncoderSpec(
+        mk = lambda s, wb=False: EncoderSpec(
             s, cfg.model.dim, cfg.model.fusion, cfg.model.nonlinear,
+            with_bias=wb,
             dense_mulhot_threshold=cfg.model.dense_vocab_threshold)
         return SeqSpec(
-            item_in=mk(item_schema),
+            # with tie_output the fused input encoder is also the output
+            # embedding, so it carries the per-item score bias column
+            item_in=mk(item_schema, wb=cfg.model.tie_output),
             user=mk(user_schema) if cfg.model.concat_user else None,
             cell=cfg.model.cell,
             num_layers=cfg.model.num_layers,
@@ -115,15 +120,17 @@ def init_seq(key: jax.Array, spec: SeqSpec) -> dict:
             b = b.at[d : 2 * d].set(1.0)
         layers.append({"w": w, "b": b})
     params["rnn"] = layers
-    # dedicated output table + bias (TF1 sampled_softmax weights analog);
-    # one PAD row so sequence-pad target ids stay in range. With
-    # tie_output the fused input encoder doubles as the output embedding
-    # (ref --use_concat-era weight tying) and only the bias remains.
+    # dedicated output table (TF1 sampled_softmax weights analog): [V+1, D+1]
+    # with the per-item score bias in COLUMN D (zero-initialized) so bias
+    # lookup + gradient ride the row gather — no separate [V] bias array
+    # (see EncoderSpec.with_bias for the measured cost of one). One PAD row
+    # so sequence-pad target ids stay in range. With tie_output the fused
+    # input encoder doubles as the output embedding (ref --use_concat-era
+    # weight tying) and carries the bias column itself (with_bias=True).
     v = spec.vocab
     if not spec.tie_output:
-        params["item_out"] = (
-            jax.random.normal(keys[-1], (v + 1, d)) / jnp.sqrt(d))
-    params["out_bias"] = jnp.zeros((v + 1,))
+        t = jax.random.normal(keys[-1], (v + 1, d + 1)) / jnp.sqrt(d)
+        params["item_out"] = t.at[:, d].set(0.0)
     return params
 
 
@@ -324,13 +331,15 @@ def seq_loss(params, spec: SeqSpec, item_dev, user_dev, batch,
     flat_t = batch["targets"].reshape(b * L)
     flat_w = batch["mask"].reshape(b * L)
     if spec.tie_output:
-        embed = lambda ids: encode(params["item_in"], spec.item_in, item_dev,
-                                   ids, lk.get("item", lookup_fn))
+        embed = lambda ids: encode_with_bias(
+            params["item_in"], spec.item_in, item_dev, ids,
+            lk.get("item", lookup_fn))
     else:
-        embed = lambda ids: lk.get("out", lookup_fn)(params["item_out"], ids)
-    bias = lambda ids: params["out_bias"][ids]
+        def embed(ids):
+            rows = lk.get("out", lookup_fn)(params["item_out"], ids)
+            return rows[:, :d], rows[:, d]
     loss = sampled_softmax_loss(
-        flat_h, flat_t, embed, bias, r_neg, spec.num_sampled, spec.vocab,
+        flat_h, flat_t, embed, r_neg, spec.num_sampled, spec.vocab,
         dist=spec.sampler, weights=flat_w, compute_dtype=spec.dtype,
         sampled=sampled)
     if return_states:
@@ -375,9 +384,10 @@ def seq_final_state_full(params, spec: SeqSpec, item_dev, user_dev, batch,
 
 def seq_item_latents(params, spec: SeqSpec, item_dev=None):
     """Output-side item matrix + bias for full-softmax eval / retrieval."""
-    v = spec.vocab
+    v, d = spec.vocab, spec.dim
     if spec.tie_output:
-        from arec.tables.engine import encode_all_items
-        return (encode_all_items(params["item_in"], spec.item_in, item_dev),
-                params["out_bias"][:v])
-    return params["item_out"][:v], params["out_bias"][:v]
+        from arec.tables.engine import encode_all_items_with_bias
+        return encode_all_items_with_bias(params["item_in"], spec.item_in,
+                                          item_dev)
+    t = params["item_out"]
+    return t[:v, :d], t[:v, d]

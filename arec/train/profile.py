@@ -22,7 +22,9 @@ class StepProfiler:
     def on_step(self, step: int) -> None:
         if not self.dir:
             return
-        if not self._active and step == self.start:
+        # >= (not ==): with steps_per_dispatch > 1 on_step fires once per
+        # K-step chunk, so the exact start step may be skipped over
+        if not self._active and self.start <= step < self.start + self.steps:
             jax.profiler.start_trace(self.dir)
             self._active = True
         elif self._active and step >= self.start + self.steps:

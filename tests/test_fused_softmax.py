@@ -26,8 +26,7 @@ def _setup(seed=0):
 def _loss(q, table, bias_v, true_ids, rng, use_kernel, weights=None):
     return sampled_softmax_loss(
         q, true_ids,
-        embed=lambda ids: table[ids],
-        bias=lambda ids: bias_v[ids],
+        embed=lambda ids: (table[ids], bias_v[ids]),
         rng=rng, num_sampled=S, vocab=V,
         compute_dtype=jnp.float32, weights=weights,
         use_kernel=use_kernel)
@@ -68,11 +67,11 @@ def test_fused_handles_accidental_hits():
         [true_ids[:S // 2], jnp.arange(S - S // 2, dtype=jnp.int32)])
     p = jnp.full((S,), 1.0 / V)
     ref = sampled_softmax_loss(
-        q, true_ids, lambda i: table[i], lambda i: bias_v[i],
+        q, true_ids, lambda i: (table[i], bias_v[i]),
         rng, S, V, dist="uniform", compute_dtype=jnp.float32,
         sampled=(sampled_ids, p), use_kernel=False)
     got = sampled_softmax_loss(
-        q, true_ids, lambda i: table[i], lambda i: bias_v[i],
+        q, true_ids, lambda i: (table[i], bias_v[i]),
         rng, S, V, dist="uniform", compute_dtype=jnp.float32,
         sampled=(sampled_ids, p), use_kernel=True)
     np.testing.assert_allclose(float(got), float(ref), rtol=1e-5, atol=1e-6)

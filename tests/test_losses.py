@@ -22,9 +22,8 @@ def setup():
     bias_arr = jnp.asarray(rng.normal(size=(V,)) * 0.1, jnp.float32)
     q = jnp.asarray(rng.normal(size=(B, D)) * 0.3, jnp.float32)
     true_ids = jnp.asarray(rng.integers(0, V, B), jnp.int32)
-    embed = lambda ids: table[ids]
-    bias = lambda ids: bias_arr[ids]
-    return q, true_ids, embed, bias, table, bias_arr
+    embed = lambda ids: (table[ids], bias_arr[ids])
+    return q, true_ids, embed, table, bias_arr
 
 
 def test_log_uniform_sampler_matches_analytic_distribution():
@@ -51,12 +50,12 @@ def _offset(true_ids, num_sampled, dist):
 def test_sampled_softmax_converges_to_full_softmax(setup, dist):
     """With S >> V the offset-corrected sampled CE must approach the exact
     full-softmax CE (consistency of the estimator — SURVEY.md §4)."""
-    q, true_ids, embed, bias, table, bias_arr = setup
+    q, true_ids, embed, table, bias_arr = setup
     full = full_softmax_loss(q, true_ids, table, bias_arr,
                              compute_dtype=jnp.float32)
     est = np.mean([
         float(sampled_softmax_loss(
-            q, true_ids, embed, bias, jax.random.key(s), 8192, V,
+            q, true_ids, embed, jax.random.key(s), 8192, V,
             dist=dist, remove_accidental_hits=False,
             compute_dtype=jnp.float32))
         for s in range(8)
@@ -67,13 +66,13 @@ def test_sampled_softmax_converges_to_full_softmax(setup, dist):
 def test_sampled_softmax_gradient_matches_full_softmax(setup):
     """The graded parity bar rides on gradients, not loss values
     (SURVEY.md §7 "Sampled-softmax parity")."""
-    q, true_ids, embed, bias, table, bias_arr = setup
+    q, true_ids, embed, table, bias_arr = setup
 
     g_full = jax.grad(lambda qq: full_softmax_loss(
         qq, true_ids, table, bias_arr, compute_dtype=jnp.float32))(q)
     g_samp = np.mean([
         np.asarray(jax.grad(lambda qq: sampled_softmax_loss(
-            qq, true_ids, embed, bias, jax.random.key(s), 8192, V,
+            qq, true_ids, embed, jax.random.key(s), 8192, V,
             dist="uniform", remove_accidental_hits=False,
             compute_dtype=jnp.float32))(q))
         for s in range(8)
@@ -87,22 +86,22 @@ def test_sampled_softmax_gradient_matches_full_softmax(setup):
 
 
 def test_accidental_hit_removal_changes_loss(setup):
-    q, true_ids, embed, bias, *_ = setup
-    a = sampled_softmax_loss(q, true_ids, embed, bias, jax.random.key(1),
+    q, true_ids, embed, *_ = setup
+    a = sampled_softmax_loss(q, true_ids, embed, jax.random.key(1),
                              512, V, remove_accidental_hits=True,
                              compute_dtype=jnp.float32)
-    b = sampled_softmax_loss(q, true_ids, embed, bias, jax.random.key(1),
+    b = sampled_softmax_loss(q, true_ids, embed, jax.random.key(1),
                              512, V, remove_accidental_hits=False,
                              compute_dtype=jnp.float32)
     assert float(a) < float(b)  # removing true-class logits lowers CE
 
 
 def test_position_weights_mask_rows(setup):
-    q, true_ids, embed, bias, *_ = setup
+    q, true_ids, embed, *_ = setup
     w = jnp.zeros((B,)).at[:4].set(1.0)
-    masked = sampled_softmax_loss(q, true_ids, embed, bias, jax.random.key(2),
+    masked = sampled_softmax_loss(q, true_ids, embed, jax.random.key(2),
                                   256, V, weights=w, compute_dtype=jnp.float32)
-    first4 = sampled_softmax_loss(q[:4], true_ids[:4], embed, bias,
+    first4 = sampled_softmax_loss(q[:4], true_ids[:4], embed,
                                   jax.random.key(2), 256, V,
                                   compute_dtype=jnp.float32)
     np.testing.assert_allclose(float(masked), float(first4), rtol=1e-5)
@@ -110,23 +109,23 @@ def test_position_weights_mask_rows(setup):
 
 @pytest.mark.parametrize("name", ["warp", "bpr", "mw", "bbpr", "ce"])
 def test_losses_finite_with_finite_grads(setup, name):
-    q, true_ids, embed, bias, table, bias_arr = setup
+    q, true_ids, embed, table, bias_arr = setup
 
     def f(qq):
         if name == "ce":
-            return sampled_softmax_loss(qq, true_ids, embed, bias,
+            return sampled_softmax_loss(qq, true_ids, embed,
                                         jax.random.key(3), 64, V,
                                         compute_dtype=jnp.float32)
         if name == "warp":
-            return warp_loss(qq, true_ids, embed, bias, jax.random.key(3),
+            return warp_loss(qq, true_ids, embed, jax.random.key(3),
                              64, V, compute_dtype=jnp.float32)
         if name == "bpr":
-            return bpr_loss(qq, true_ids, embed, bias, jax.random.key(3),
+            return bpr_loss(qq, true_ids, embed, jax.random.key(3),
                             64, V, compute_dtype=jnp.float32)
         if name == "mw":
-            return batch_mw_loss(qq, true_ids, embed, bias, V,
+            return batch_mw_loss(qq, true_ids, embed, V,
                                  compute_dtype=jnp.float32)
-        return batch_bpr_loss(qq, true_ids, embed, bias,
+        return batch_bpr_loss(qq, true_ids, embed,
                               compute_dtype=jnp.float32)
 
     loss, g = jax.value_and_grad(f)(q)
@@ -137,16 +136,16 @@ def test_losses_finite_with_finite_grads(setup, name):
 def test_pairwise_losses_prefer_better_model(setup):
     """A query matrix aligned with its true item embeddings must score a
     lower ranking loss than a random one."""
-    q, true_ids, embed, bias, table, bias_arr = setup
+    q, true_ids, embed, table, bias_arr = setup
     good_q = table[true_ids] * 3.0
     for fn in (
-        lambda qq: bpr_loss(qq, true_ids, embed, bias, jax.random.key(4), 128,
+        lambda qq: bpr_loss(qq, true_ids, embed, jax.random.key(4), 128,
                             V, compute_dtype=jnp.float32),
-        lambda qq: batch_bpr_loss(qq, true_ids, embed, bias,
+        lambda qq: batch_bpr_loss(qq, true_ids, embed,
                                   compute_dtype=jnp.float32),
-        lambda qq: batch_mw_loss(qq, true_ids, embed, bias, V,
+        lambda qq: batch_mw_loss(qq, true_ids, embed, V,
                                  compute_dtype=jnp.float32),
-        lambda qq: warp_loss(qq, true_ids, embed, bias, jax.random.key(4),
+        lambda qq: warp_loss(qq, true_ids, embed, jax.random.key(4),
                              128, V, compute_dtype=jnp.float32),
     ):
         assert float(fn(good_q)) < float(fn(q))

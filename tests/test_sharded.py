@@ -98,10 +98,10 @@ def test_param_pspecs_classify_tables():
         "user": {"tables": {"user_id": jnp.zeros((4, 2))},
                  "fusion": {"w1": jnp.zeros((2, 2))}},
         "item_out": jnp.zeros((5, 2)),
-        "out_bias": jnp.zeros((5,)),
+        "rnn": [{"w": jnp.zeros((4, 8))}],
     }
     specs = param_pspecs(params)
     assert specs["user"]["tables"]["user_id"] == P("model", None)
     assert specs["user"]["fusion"]["w1"] == P()
     assert specs["item_out"] == P("model", None)
-    assert specs["out_bias"] == P()
+    assert specs["rnn"][0]["w"] == P()
