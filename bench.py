@@ -86,12 +86,18 @@ def main() -> None:
         gstep += K
     jax.block_until_ready(state.params)
 
-    t0 = time.perf_counter()
-    for i in range(STEPS):
-        state, m = step(state, blocks[i % len(blocks)], subs(gstep))
-        gstep += K
-    jax.block_until_ready(state.params)
-    dt = time.perf_counter() - t0
+    # median of 3 timed windows: the TPU sits behind a remote tunnel whose
+    # transient stalls can poison a single contiguous window (observed 7×
+    # swings); the median window is robust to them
+    per, times = max(1, STEPS // 3), []
+    for w in range(3):
+        t0 = time.perf_counter()
+        for i in range(per):
+            state, m = step(state, blocks[i % len(blocks)], subs(gstep))
+            gstep += K
+        jax.block_until_ready(state.params)
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[1] * STEPS / per
 
     eps = BATCH * K * STEPS / dt / max(jax.local_device_count(), 1)
 

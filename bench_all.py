@@ -41,20 +41,30 @@ def want(section: str) -> bool:
     return _ONLY is None or section in _ONLY
 
 
-def _bench_steps(step, state, ring, rng, warmup=5, iters=None):
+def _bench_steps(step, state, ring, rng, warmup=5, iters=None, windows=5):
     """Returns (elapsed_s, final_state) — the input state is DONATED by the
-    first step call, so callers must use the returned state afterwards."""
+    first step call, so callers must use the returned state afterwards.
+
+    Timed as `windows` sub-windows; elapsed = median window × windows. The
+    TPU here sits behind a remote tunnel, so a single contiguous window is
+    exposed to multi-hundred-ms transient stalls (observed 7× swings on the
+    retrieval bench); the median window is robust to them."""
     iters = ITERS if iters is None else iters
+    per = max(1, iters // windows)
     for i in range(warmup):
         rng, sub = jax.random.split(rng)
         state, m = step(state, ring[i % len(ring)], sub)
     jax.block_until_ready(state.params)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        rng, sub = jax.random.split(rng)
-        state, m = step(state, ring[i % len(ring)], sub)
-    jax.block_until_ready(state.params)
-    return time.perf_counter() - t0, state
+    times = []
+    for w in range(windows):
+        t0 = time.perf_counter()
+        for i in range(per):
+            rng, sub = jax.random.split(rng)
+            state, m = step(state, ring[i % len(ring)], sub)
+        jax.block_until_ready(state.params)
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2] * windows * (iters / (per * windows))
+    return dt, state
 
 
 def _record(out, **rec):
@@ -239,11 +249,15 @@ def bench_retrieval(out, ds, mf_result):
     seen = jnp.asarray(ds.seen_items[:QB])
     tk = lambda: topk_with_mask(q, v, bias, seen, k=30)
     jax.block_until_ready(tk())
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        r = tk()
-    jax.block_until_ready(r)
-    dt = time.perf_counter() - t0
+    # median of 5 windows (see _bench_steps: tunnel-stall robustness)
+    per, times = max(1, ITERS // 5), []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(per):
+            r = tk()
+        jax.block_until_ready(r)
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[2] * ITERS / per
     _record(out, metric="retrieval_top30_qps",
             value=round(QB * ITERS / dt, 1), unit="queries/s",
             config=f"V={ds.num_items} dim64 batch{QB} seen-masked")

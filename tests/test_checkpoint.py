@@ -78,6 +78,54 @@ def test_cli_parse_and_load(tmp_path):
     assert args.recommend and args.out == "x.tsv"
 
 
+def test_restore_across_mesh_shapes(tmp_path):
+    """SURVEY.md §5: "restore onto a possibly different mesh shape via
+    resharding". Tables are row-padded per mesh model-axis size, so the
+    saved row counts differ between mesh shapes; the checkpointer must
+    adapt (slice/zero-pad axis 0) and re-lay-out onto the new mesh."""
+    from arec.config import MeshConfig
+    from arec.tables.engine import FUSED
+    from arec.train.loop import Trainer
+
+    def cfg(mesh_data, mesh_model):
+        return Config(
+            data=DataConfig(syn_users=121, syn_items=93,
+                            syn_interactions=2400,
+                            data_dir=str(tmp_path / "data")),
+            model=ModelConfig(model="mf", dim=8),
+            train=TrainConfig(batch_size=32, n_epoch=2, max_steps=25,
+                              steps_per_checkpoint=25,
+                              compute_dtype="float32",
+                              train_dir=str(tmp_path / "train")),
+            mesh=MeshConfig(data=mesh_data, model=mesh_model),
+        )
+
+    t_a = Trainer(cfg(2, 2))
+    t_a.train()  # checkpoints at step 25 (== max_steps)
+    tab_a = np.asarray(t_a.state.params["item"]["tables"][FUSED])
+
+    for mesh_data, mesh_model in ((1, 1), (1, 4)):
+        t_b = Trainer(cfg(mesh_data, mesh_model))
+        assert int(t_b.state.step) == 25, "checkpoint must restore"
+        tab_b = np.asarray(t_b.state.params["item"]["tables"][FUSED])
+        if mesh_model == 4:
+            # rows ≡ 2 (mod 4) here, so padding genuinely differs: the
+            # adaptation path (slice/zero-pad axis 0) must be exercised
+            assert tab_a.shape[0] != tab_b.shape[0], (
+                f"test vacuous: pick row counts where padding differs "
+                f"({tab_a.shape} vs {tab_b.shape})")
+        n = min(tab_a.shape[0], tab_b.shape[0])
+        np.testing.assert_allclose(tab_a[:n], tab_b[:n], rtol=1e-6,
+                                   atol=1e-7)
+        # grown pad rows are zero; restored state must drive further steps
+        if tab_b.shape[0] > n:
+            np.testing.assert_array_equal(tab_b[n:], 0.0)
+        batch = {k: jnp.asarray(v) for k, v in
+                 next(iter(t_a._batches(0))).items()}
+        state2, m = t_b.step_fn(t_b.state, batch, jax.random.key(9))
+        assert np.isfinite(float(m["loss"]))
+
+
 def test_resume_is_exact(tmp_path):
     """A run interrupted at a checkpoint and resumed must produce exactly
     the same parameters as an uninterrupted run: per-step rng is a pure
