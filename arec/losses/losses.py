@@ -33,6 +33,10 @@ from arec.losses.sampling import draw
 EmbedBias = Callable[[jnp.ndarray], tuple[jnp.ndarray, jnp.ndarray]]
 
 _NEG_INF = -1e9
+# row count above which the Pallas fused CE kernel beats XLA's fusion on
+# TPU (the [N, S] logit matrix stops fitting cheap HBM traffic) — see the
+# use_kernel docstring in sampled_softmax_loss for the measurements
+_KERNEL_MIN_ROWS = 32768
 
 
 def _matmul(q: jnp.ndarray, v: jnp.ndarray, dtype) -> jnp.ndarray:
@@ -65,14 +69,16 @@ def sampled_softmax_loss(
     compute_dtype=jnp.bfloat16,
     sampled: tuple | None = None,  # pre-drawn (ids, p) — lets the sparse
                                    # train step know the candidate set upfront
-    use_kernel: bool | None = None,  # None = default off: XLA's own fusion
-                                   # of this chain measured FASTER on TPU
-                                   # (MF 16k batch: 6.2M vs 3.2M ex/s/chip)
-                                   # than the hand-tiled Pallas kernel at
-                                   # S=1024; the kernel remains available
-                                   # (arec/kernels/sampled_softmax.py) for
-                                   # much larger candidate sets where the
-                                   # [N, S] logit materialization dominates
+    use_kernel: bool | None = None,  # None = row-count heuristic (measured
+                                   # on TPU v5e at S=1024): XLA's own
+                                   # fusion wins at small N (MF 16k batch:
+                                   # 6.2M vs 3.2M ex/s/chip) but the Pallas
+                                   # kernel wins once the [N, S] logit
+                                   # materialization dominates HBM traffic
+                                   # (LSTM 2048×30 = 61k rows: 324k vs
+                                   # 246k seq/s, +31%) — so the kernel
+                                   # turns on at N ≥ _KERNEL_MIN_ROWS on
+                                   # real TPU
 ) -> jnp.ndarray:
     """TF1 `tf.nn.sampled_softmax_loss` semantics, rebuilt:
     S shared negatives per step, −log(S·P) logit correction, accidental-hit
@@ -84,7 +90,9 @@ def sampled_softmax_loss(
     v_samp, b_samp = embed(sampled_ids)            # [S, D], [S]
 
     if use_kernel is None:
-        use_kernel = False
+        use_kernel = (query.shape[0] >= _KERNEL_MIN_ROWS
+                      and remove_accidental_hits
+                      and jax.default_backend() == "tpu")
     if use_kernel and remove_accidental_hits:
         from arec.kernels.sampled_softmax import fused_sampled_ce
         c_samp = b_samp - jnp.log(num_sampled * p)

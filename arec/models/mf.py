@@ -84,6 +84,7 @@ def mf_loss(
     lookup_fn=dense_lookup,
     lookup_fns: dict | None = None,   # per-role override: {"user","item"}
     sampled: tuple | None = None,     # pre-drawn (neg_ids, neg_p) — sparse step
+    use_kernel: bool | None = None,   # Pallas fused CE; None = size heuristic
 ) -> jnp.ndarray:
     """One training step's loss for a (user, positive-item) batch
     (SURVEY.md §3.1: u = fuse(user attrs); loss over sampled candidates)."""
@@ -100,7 +101,8 @@ def mf_loss(
     if spec.loss == "ce":
         return sampled_softmax_loss(
             u, pos, embed, r_neg, spec.num_sampled, vocab,
-            dist=spec.sampler, compute_dtype=spec.dtype, sampled=sampled)
+            dist=spec.sampler, compute_dtype=spec.dtype, sampled=sampled,
+            use_kernel=use_kernel)
     if spec.loss == "warp":
         return warp_loss(u, pos, embed, r_neg, spec.num_sampled, vocab,
                          compute_dtype=spec.dtype)

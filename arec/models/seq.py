@@ -290,7 +290,8 @@ def seq_loss(params, spec: SeqSpec, item_dev, user_dev, batch,
              rng: jax.Array, lookup_fn=dense_lookup,
              lookup_fns: dict | None = None,
              sampled: tuple | None = None,
-             states: list | None = None, return_states: bool = False):
+             states: list | None = None, return_states: bool = False,
+             use_kernel: bool | None = None):
     """Sampled-softmax CE over all valid positions (ref losses ce/mce both
     train every position; SURVEY.md §3.2). With `states`/`return_states`
     the loss runs one TBPTT segment: the caller carries (and stop-gradients)
@@ -341,7 +342,7 @@ def seq_loss(params, spec: SeqSpec, item_dev, user_dev, batch,
     loss = sampled_softmax_loss(
         flat_h, flat_t, embed, r_neg, spec.num_sampled, spec.vocab,
         dist=spec.sampler, weights=flat_w, compute_dtype=spec.dtype,
-        sampled=sampled)
+        sampled=sampled, use_kernel=use_kernel)
     if return_states:
         return loss, new_states
     return loss

@@ -62,58 +62,74 @@ def _local_score_topk(q, v_shard, b_shard, seen, k, compute_dtype):
     return vals, idx + offset
 
 
-@partial(jax.jit, static_argnames=("k", "block", "compute_dtype"))
+@partial(jax.jit, static_argnames=("k", "qblock", "compute_dtype",
+                                   "recall_target", "score_mem_mb"))
 def blocked_topk_mips(query, item_latents, item_bias, seen, k: int = 30,
-                      block: int = 16384, compute_dtype=jnp.bfloat16):
-    """Streaming exact top-k MIPS: scores are computed block-of-items at a
-    time with a running [B, k] top-k carry, so peak memory is O(B·block)
-    instead of O(B·V). At XING scale (V ≈ 1.3M, B = 4096) the full score
-    matrix would be ~21 GB — this path never materializes it.
+                      qblock: int = 0, compute_dtype=jnp.bfloat16,
+                      recall_target: float = 1.0, score_mem_mb: int = 512):
+    """Production-vocab top-k MIPS, blocked over QUERIES: each query chunk
+    scores the full vocab ([Qb, D] × [D, V] on the MXU), masks its seen
+    items, and selects top-k; peak score memory is O(Qb·V), bounded by
+    `score_mem_mb` (Qb auto-shrinks as V grows — at XING scale V ≈ 1.3M the
+    [B, V] matrix would be ~21 GB; a chunk stays ≤ `score_mem_mb`).
 
-    Seen-item masking is done per block by binary search into each row's
-    sorted seen list over the block's top-(k+S) candidates (S = max seen
-    width): a row's seen items can occupy at most S of those slots, so at
-    least k unseen survivors remain — the result is exactly equal to the
-    full topk_with_mask path.
+    Why query-blocked, not item-blocked: TPU top_k is sort-based and its
+    cost scales with total elements scanned, so an item-blocked running
+    merge pays a top-(k+S) sort per block PLUS the merge — measured 3.9×
+    slower at V=300k (805 ms vs 207 ms for 4096 queries) than one full-V
+    selection per query chunk.
+
+    recall_target: 1.0 (default) = exact `lax.top_k` — identical results to
+    topk_with_mask. < 1.0 = `lax.approx_max_k` serving mode (TPU PartialReduce,
+    ~6× faster selection at V=300k) with per-element recall ≥ the target in
+    expectation; seen-masking then happens on the top-(k+S) candidate set
+    (a row's seen items occupy at most S of those slots, so ≥ k unseen
+    survivors remain).
     """
     b, d = query.shape
     v = item_latents.shape[0]
     s_width = seen.shape[1]
-    nb = -(-v // block)
-    vp = nb * block
-    if vp != v:
-        item_latents = jnp.pad(item_latents, ((0, vp - v), (0, 0)))
-        item_bias = jnp.pad(item_bias, (0, vp - v), constant_values=-jnp.inf)
-    blocks_v = item_latents.reshape(nb, block, d)
-    blocks_b = item_bias.reshape(nb, block)
-    offsets = jnp.arange(nb, dtype=jnp.int32) * block
+    if not qblock:
+        qblock = max(8, min(b, (score_mem_mb << 20) // max(4 * v, 1)))
+    nb = -(-b // qblock)
+    bp = nb * qblock
+    if bp != b:
+        query = jnp.pad(query, ((0, bp - b), (0, 0)))
+        seen = jnp.pad(seen, ((0, bp - b), (0, 0)), constant_values=-1)
+    qs = query.astype(compute_dtype).reshape(nb, qblock, d)
+    vb = item_latents.astype(compute_dtype)
+    exact = recall_target >= 1.0
+    if exact:
+        ss = seen.reshape(nb, qblock, s_width)
+    else:
+        ss = jnp.sort(jnp.where(seen >= 0, seen, v + 1),
+                      axis=1).reshape(nb, qblock, s_width)
+    kb = min(k + s_width, v)
 
-    seen_sorted = jnp.sort(jnp.where(seen >= 0, seen, v + 1), axis=1)
-    kb = min(k + s_width, block)
-    q = query.astype(compute_dtype)
-
-    def body(carry, blk):
-        bv, bi = carry
-        v_blk, b_blk, off = blk
+    def body(_, xs):
+        qq, sn = xs
         scores = jax.lax.dot_general(
-            q, v_blk.astype(compute_dtype),
-            dimension_numbers=(((1,), (1,)), ((), ())),
+            qq, vb, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) + b_blk[None, :]
-        cv, ci = jax.lax.top_k(scores, kb)
-        ci = ci + off
-        pos = jnp.minimum(
-            jax.vmap(jnp.searchsorted)(seen_sorted, ci), s_width - 1)
-        hit = jnp.take_along_axis(seen_sorted, pos, axis=1) == ci
-        cv = jnp.where(hit, -jnp.inf, cv)
-        mv = jnp.concatenate([bv, cv], axis=1)
-        mi = jnp.concatenate([bi, ci], axis=1)
-        nv, np_ = jax.lax.top_k(mv, k)
-        return (nv, jnp.take_along_axis(mi, np_, axis=1)), None
+        ) + item_bias[None, :]
+        if exact:
+            rows = jnp.broadcast_to(jnp.arange(qblock)[:, None], sn.shape)
+            scores = scores.at[rows, jnp.clip(sn, 0, v - 1)].add(
+                jnp.where(sn >= 0, -jnp.inf, 0.0))
+            tv, ti = jax.lax.top_k(scores, k)
+        else:
+            cv, ci = jax.lax.approx_max_k(scores, kb,
+                                          recall_target=recall_target)
+            pos = jnp.minimum(
+                jax.vmap(jnp.searchsorted)(sn, ci), s_width - 1)
+            hit = jnp.take_along_axis(sn, pos, axis=1) == ci
+            cv = jnp.where(hit, -jnp.inf, cv)
+            tv, tp = jax.lax.top_k(cv, k)
+            ti = jnp.take_along_axis(ci, tp, axis=1)
+        return None, (tv, ti)
 
-    init = (jnp.full((b, k), -jnp.inf), jnp.zeros((b, k), jnp.int32))
-    (vals, ids), _ = jax.lax.scan(body, init, (blocks_v, blocks_b, offsets))
-    return vals, ids
+    _, (vals, ids) = jax.lax.scan(body, None, (qs, ss))
+    return vals.reshape(bp, k)[:b], ids.reshape(bp, k)[:b]
 
 
 def make_sharded_topk(mesh: Mesh, k: int = 30, compute_dtype=jnp.bfloat16):

@@ -27,12 +27,11 @@ def topk_with_mask(
     compute_dtype=jnp.bfloat16,
 ):
     """Dispatch by vocabulary size. Small V: materialize [B, V] scores,
-    scatter the seen penalty, one top_k — measured 7× faster than the
-    streaming path at V=20k (one big sort beats many small sorts + scan
-    overhead). Production V: the exact streaming path
-    (arec.retrieval.mips.blocked_topk_mips) — O(B·block) peak memory where
-    the full score matrix would be tens of GB (XING: V ≈ 1.3M). The two
-    are exactly equal (tests/test_retrieval.py)."""
+    scatter the seen penalty, one top_k. Production V: the query-blocked
+    path (arec.retrieval.mips.blocked_topk_mips) — peak score memory
+    bounded by its score_mem_mb budget where the full [B, V] matrix would
+    be tens of GB (XING: V ≈ 1.3M). The two are exactly equal
+    (tests/test_retrieval.py)."""
     if item_latents.shape[0] > BLOCKED_EVAL_MIN_V:
         from arec.retrieval.mips import blocked_topk_mips
         return blocked_topk_mips(query, item_latents, item_bias, seen, k=k,

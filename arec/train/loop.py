@@ -162,14 +162,18 @@ class Trainer:
     def _loss_fn(self):
         spec, item_dev, user_dev, lookup = (
             self.spec, self.item_dev, self.user_dev, self.lookup)
+        # the Pallas fused-CE kernel does not partition under GSPMD, so the
+        # mesh path pins the (equally exact) XLA-fused fallback; single
+        # device keeps the size heuristic (arec/losses/losses.py)
+        use_kernel = False if self.use_mesh else None
         if self.is_seq:
             def loss_fn(p, batch, rng):
                 return seq_mod.seq_loss(p, spec, item_dev, user_dev, batch,
-                                        rng, lookup)
+                                        rng, lookup, use_kernel=use_kernel)
         else:
             def loss_fn(p, batch, rng):
                 return mf_mod.mf_loss(p, spec, user_dev, item_dev, batch,
-                                      rng, lookup)
+                                      rng, lookup, use_kernel=use_kernel)
         return loss_fn
 
     def _state_shardings(self, params):

@@ -10,7 +10,8 @@ appends a JSON record per metric to BASELINE_RUNS.jsonl:
 
 bench.py stays the driver's one-line entry; this is the full harness.
 Usage: python bench_all.py [--quick] [--only SECTION[,SECTION]]
-Sections: mf, lstm, mf_bigvocab, lstm_bigvocab, retrieval.
+Sections: mf, lstm, mf_bigvocab, lstm_bigvocab, retrieval,
+retrieval_bigvocab.
 (--only exists because tunnel compiles are slow — a full run can exceed a
 10-minute window; split sections across invocations.)
 """
@@ -263,6 +264,38 @@ def bench_retrieval(out, ds, mf_result):
             config=f"V={ds.num_items} dim64 batch{QB} seen-masked")
 
 
+def bench_retrieval_bigvocab(out):
+    """Production-vocab serving path: exact streaming blocked top-k MIPS
+    (arec/retrieval/mips.py blocked_topk_mips) at XING-scale V — the
+    [B, V] score matrix is never materialized."""
+    from arec.retrieval.mips import blocked_topk_mips
+
+    V, D, QB, SW = 300_000, 64, 4096, 30
+    kv = jax.random.key(11)
+    v = jax.random.normal(jax.random.fold_in(kv, 0), (V, D), jnp.float32)
+    bias = jax.random.normal(jax.random.fold_in(kv, 1), (V,), jnp.float32) * .01
+    q = jax.random.normal(jax.random.fold_in(kv, 2), (QB, D), jnp.float32)
+    seen = jax.random.randint(jax.random.fold_in(kv, 3), (QB, SW), 0, V)
+    for mode, rt in (("exact", 1.0), ("approx95", 0.95)):
+        tk = lambda: blocked_topk_mips(q, v, bias, seen, k=30,
+                                       recall_target=rt)
+        # sync via a tiny readback: on the remote (axon) backend
+        # block_until_ready alone reports impossible speeds in a fresh
+        # process (lazy dispatch — see .claude/skills/verify)
+        float(jnp.asarray(tk()[0]).ravel()[0])
+        per, times = max(1, ITERS // 5), []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            for _ in range(per):
+                r = tk()
+            float(jnp.asarray(r[0]).ravel()[0])
+            times.append(time.perf_counter() - t0)
+        dt = sorted(times)[2] * ITERS / per
+        _record(out, metric=f"retrieval_bigvocab_top30_{mode}_qps",
+                value=round(QB * ITERS / dt, 1), unit="queries/s",
+                config=f"V={V} dim{D} batch{QB} seen{SW} query-blocked")
+
+
 def main():
     from arec.train.step import make_optimizer
 
@@ -282,6 +315,8 @@ def main():
         bench_lstm_bigvocab(out, opt)
     if want("retrieval"):
         bench_retrieval(out, ds, mf_result)
+    if want("retrieval_bigvocab"):
+        bench_retrieval_bigvocab(out)
 
     with open("BASELINE_RUNS.jsonl", "a") as f:
         for rec in out:
