@@ -71,7 +71,8 @@ def blocked_topk_mips(query, item_latents, item_bias, seen, k: int = 30,
     scores the full vocab ([Qb, D] × [D, V] on the MXU), masks its seen
     items, and selects top-k; peak score memory is O(Qb·V), bounded by
     `score_mem_mb` (Qb auto-shrinks as V grows — at XING scale V ≈ 1.3M the
-    [B, V] matrix would be ~21 GB; a chunk stays ≤ `score_mem_mb`).
+    [B, V] matrix would be ~21 GB; a chunk stays ≤ `score_mem_mb`, floored
+    at one query row = V·4 bytes).
 
     Why query-blocked, not item-blocked: TPU top_k is sort-based and its
     cost scales with total elements scanned, so an item-blocked running
@@ -90,7 +91,11 @@ def blocked_topk_mips(query, item_latents, item_bias, seen, k: int = 30,
     v = item_latents.shape[0]
     s_width = seen.shape[1]
     if not qblock:
-        qblock = max(8, min(b, (score_mem_mb << 20) // max(4 * v, 1)))
+        # budget → chunk count first, then even chunks: qblock·v·4B stays
+        # ≤ score_mem_mb (down to qblock=1) and padding is < nb rows
+        qblock = max(1, min(b, (score_mem_mb << 20) // max(4 * v, 1)))
+        nb = -(-b // qblock)
+        qblock = -(-b // nb)
     nb = -(-b // qblock)
     bp = nb * qblock
     if bp != b:
@@ -104,7 +109,7 @@ def blocked_topk_mips(query, item_latents, item_bias, seen, k: int = 30,
     else:
         ss = jnp.sort(jnp.where(seen >= 0, seen, v + 1),
                       axis=1).reshape(nb, qblock, s_width)
-    kb = min(k + s_width, v)
+        kb = min(k + s_width, v)
 
     def body(_, xs):
         qq, sn = xs
@@ -113,9 +118,12 @@ def blocked_topk_mips(query, item_latents, item_bias, seen, k: int = 30,
             preferred_element_type=jnp.float32,
         ) + item_bias[None, :]
         if exact:
+            # -1e9 penalty (not -inf): matches _topk_full exactly, including
+            # the degenerate k > #unseen case where penalized seen items
+            # re-enter the tail of the top-k by score order
             rows = jnp.broadcast_to(jnp.arange(qblock)[:, None], sn.shape)
             scores = scores.at[rows, jnp.clip(sn, 0, v - 1)].add(
-                jnp.where(sn >= 0, -jnp.inf, 0.0))
+                jnp.where(sn >= 0, -1e9, 0.0))
             tv, ti = jax.lax.top_k(scores, k)
         else:
             cv, ci = jax.lax.approx_max_k(scores, kb,

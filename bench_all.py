@@ -265,9 +265,11 @@ def bench_retrieval(out, ds, mf_result):
 
 
 def bench_retrieval_bigvocab(out):
-    """Production-vocab serving path: exact streaming blocked top-k MIPS
-    (arec/retrieval/mips.py blocked_topk_mips) at XING-scale V — the
-    [B, V] score matrix is never materialized."""
+    """Production-vocab serving path (arec/retrieval/mips.py
+    blocked_topk_mips): query-blocked full-vocab scoring, score chunks
+    capped by its memory budget (the full [B, V] matrix is never
+    materialized at once); measured in exact mode and in the
+    recall_target=0.95 approx_max_k serving mode."""
     from arec.retrieval.mips import blocked_topk_mips
 
     V, D, QB, SW = 300_000, 64, 4096, 30

@@ -33,16 +33,38 @@ def test_blocked_topk_matches_full(qblock):
 
 
 def test_blocked_topk_auto_qblock_matches_full():
-    """qblock=0 derives the chunk from score_mem_mb; result is unchanged."""
-    b, v, d = 48, 700, 8
+    """qblock=0 derives the chunk from score_mem_mb; result is unchanged.
+    v=8000 with a 1 MB budget forces real chunking (qblock < b, with a
+    padded final chunk: 48 % 32 != 0)."""
+    b, v, d = 48, 8000, 8
     rng = np.random.default_rng(2)
     q = jnp.asarray(rng.standard_normal((b, d)), jnp.float32)
     items = jnp.asarray(rng.standard_normal((v, d)), jnp.float32)
     bias = jnp.zeros((v,))
     seen = jnp.full((b, 4), -1, jnp.int32)
+    assert 0 < (1 << 20) // (4 * v) < b  # precondition: budget forces chunks
     fv, fi = _topk_full(q, items, bias, seen, k=7, compute_dtype=jnp.float32)
     bv, bi = blocked_topk_mips(q, items, bias, seen, k=7,
                                compute_dtype=jnp.float32, score_mem_mb=1)
+    np.testing.assert_allclose(np.asarray(bv), np.asarray(fv),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(bi), np.asarray(fi))
+
+
+def test_blocked_topk_degenerate_k_exceeds_unseen():
+    """k > #unseen items: the -1e9 penalty (not -inf) keeps the tail of the
+    top-k ordered by true score among seen items, exactly like _topk_full."""
+    b, v, d, k = 8, 10, 4, 5
+    rng = np.random.default_rng(4)
+    q = jnp.asarray(rng.standard_normal((b, d)), jnp.float32)
+    items = jnp.asarray(rng.standard_normal((v, d)), jnp.float32)
+    bias = jnp.zeros((v,))
+    # 6 distinct seen per row → only 4 unseen < k
+    seen = jnp.asarray(np.stack([rng.permutation(v)[:6] for _ in range(b)])
+                       .astype(np.int32))
+    fv, fi = _topk_full(q, items, bias, seen, k=k, compute_dtype=jnp.float32)
+    bv, bi = blocked_topk_mips(q, items, bias, seen, k=k, qblock=3,
+                               compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(bv), np.asarray(fv),
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(bi), np.asarray(fi))
