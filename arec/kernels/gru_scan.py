@@ -266,29 +266,34 @@ gru_layer_pallas.defvjp(_vjp_fwd, _vjp_bwd)
 
 def pallas_gru_scan(layers: list[dict], x: jnp.ndarray, mask: jnp.ndarray,
                     dtype=jnp.bfloat16, states: list | None = None,
-                    return_states: bool = False):
+                    return_states: bool = False, time_major: bool = False):
     """Drop-in replacement for arec.models.seq.rnn_scan (cell='gru'):
-    x [B, L, D], mask [B, L] → top-layer hidden states [B, L, H].
+    x [B, L, D], mask [B, L] → top-layer hidden states [B, L, H]; with
+    time_major=True, x [L, B, D], mask [L, B] → [L, B, H] (no
+    embedding-sized transposes — see pallas_lstm_scan).
     `states`: per-layer (h0, c0) carries — the c slot rides along unused so
     the state pytree matches the LSTM/lax.scan paths."""
     from arec.models.seq import input_projection  # shared xw layout
 
-    b = x.shape[0]
+    b = x.shape[1] if time_major else x.shape[0]
+    if time_major:
+        mask = mask.T          # kernel's mask input stays [B, L]
     h = x
     new_states = []
     for li, p in enumerate(layers):
         d_in = h.shape[-1]
         d = p["w"].shape[0] - d_in
-        xw = input_projection(p, h, dtype)              # [B, L, 3H]
+        xw = input_projection(p, h, dtype)              # [..., 3H]
         if states is not None:
             h0, c0 = states[li]
         else:
             h0 = jnp.zeros((b, d), jnp.float32)
             c0 = h0
         h_all = gru_layer_pallas(
-            xw.transpose(1, 0, 2), p["w"][d_in:], mask, h0, dtype)
+            xw if time_major else xw.transpose(1, 0, 2),
+            p["w"][d_in:], mask, h0, dtype)
         new_states.append((h_all[-1], c0))
-        h = h_all.transpose(1, 0, 2)
+        h = h_all if time_major else h_all.transpose(1, 0, 2)
     if return_states:
         return h, new_states
     return h

@@ -314,29 +314,37 @@ lstm_layer_pallas.defvjp(_vjp_fwd, _vjp_bwd)
 
 def pallas_lstm_scan(layers: list[dict], x: jnp.ndarray, mask: jnp.ndarray,
                      dtype=jnp.bfloat16, states: list | None = None,
-                     return_states: bool = False):
+                     return_states: bool = False, time_major: bool = False):
     """Drop-in replacement for arec.models.seq.rnn_scan (cell='lstm'):
-    x [B, L, D], mask [B, L] → top-layer hidden states [B, L, H].
+    x [B, L, D], mask [B, L] → top-layer hidden states [B, L, H]; with
+    time_major=True, x [L, B, D], mask [L, B] → [L, B, H] — the kernel is
+    natively time-major, so this path has NO [B, L, D]-sized transposes.
     `states`: optional per-layer (h0, c0) carries; `return_states=True`
     additionally returns the per-layer final (hT, cT)."""
     from arec.models.seq import input_projection  # shared xw layout
 
-    b = x.shape[0]
+    b = x.shape[1] if time_major else x.shape[0]
+    # the kernel's mask input stays [B, L] (it broadcasts internally) — a
+    # [B·L] float transpose is ~1000× smaller than the embedding transposes
+    # this path eliminates
+    if time_major:
+        mask = mask.T
     h = x
     new_states = []
     for li, p in enumerate(layers):
         d_in = h.shape[-1]
         d = p["w"].shape[0] - d_in
-        xw = input_projection(p, h, dtype)              # [B, L, 4H]
+        xw = input_projection(p, h, dtype)              # [..., 4H]
         if states is not None:
             h0, c0 = states[li]
         else:
             h0 = jnp.zeros((b, d), jnp.float32)
             c0 = h0
         h_all, cT = lstm_layer_pallas(
-            xw.transpose(1, 0, 2), p["w"][d_in:], mask, h0, c0, dtype)
+            xw if time_major else xw.transpose(1, 0, 2),
+            p["w"][d_in:], mask, h0, c0, dtype)
         new_states.append((h_all[-1], cT))
-        h = h_all.transpose(1, 0, 2)
+        h = h_all if time_major else h_all.transpose(1, 0, 2)
     if return_states:
         return h, new_states
     return h

@@ -183,8 +183,10 @@ def gru_step(wh, xw_t, h, c, dtype):
 
 def layer_scan(p: dict, cell: str, x: jnp.ndarray, mask: jnp.ndarray,
                dtype, state: tuple | None = None,
-               return_state: bool = False):
-    """One recurrent layer via lax.scan: x [B, L, D] → h_all [B, L, H].
+               return_state: bool = False, time_major: bool = False):
+    """One recurrent layer via lax.scan: x [B, L, D] → h_all [B, L, H]
+    (with time_major=True: x [L, B, D], mask [L, B] → h_all [L, B, H] — no
+    embedding-sized transposes anywhere; see seq_hidden).
     Masked state updates make pad steps exact no-ops. This is the permanent
     correctness reference for the Pallas kernel (SURVEY.md §7).
 
@@ -193,10 +195,10 @@ def layer_scan(p: dict, cell: str, x: jnp.ndarray, mask: jnp.ndarray,
     segmented-scan / temporal-pipelining hook (SURVEY.md §5 "Long-context":
     segment the scan and carry (h, c) across segments). Gradients flow
     through the carry, so a segmented scan is exactly the unsegmented one."""
-    b, L, _ = x.shape
+    b = x.shape[1] if time_major else x.shape[0]
     d = p["w"].shape[0] - x.shape[-1]
     wh = p["w"][x.shape[-1]:]
-    xw = input_projection(p, x, dtype)                    # [B, L, G·H]
+    xw = input_projection(p, x, dtype)                    # [..., G·H]
     step_fn = lstm_step if cell == "lstm" else gru_step
 
     def step(carry, inp):
@@ -211,10 +213,11 @@ def layer_scan(p: dict, cell: str, x: jnp.ndarray, mask: jnp.ndarray,
     if state is None:
         zeros = jnp.zeros((b, d), jnp.float32)
         state = (zeros, zeros)
-    (hT, cT), out = jax.lax.scan(
-        step, state,
-        (xw.transpose(1, 0, 2), mask.transpose(1, 0)))
-    out = out.transpose(1, 0, 2)
+    xs = (xw, mask) if time_major else (xw.transpose(1, 0, 2),
+                                        mask.transpose(1, 0))
+    (hT, cT), out = jax.lax.scan(step, state, xs)
+    if not time_major:
+        out = out.transpose(1, 0, 2)
     if return_state:
         return out, (hT, cT)
     return out
@@ -222,15 +225,16 @@ def layer_scan(p: dict, cell: str, x: jnp.ndarray, mask: jnp.ndarray,
 
 def rnn_scan(layers: list[dict], cell: str, x: jnp.ndarray,
              mask: jnp.ndarray, dtype, states: list | None = None,
-             return_states: bool = False):
-    """Stacked layers; returns top-layer hidden states [B, L, H].
+             return_states: bool = False, time_major: bool = False):
+    """Stacked layers; returns top-layer hidden states [B, L, H]
+    ([L, B, H] with time_major=True).
     `states`: optional per-layer (h0, c0) carries (see layer_scan)."""
     h = x
     new_states = []
     for li, p in enumerate(layers):
         st = states[li] if states is not None else None
         h, stT = layer_scan(p, cell, h, mask, dtype, state=st,
-                            return_state=True)
+                            return_state=True, time_major=time_major)
         new_states.append(stT)
     if return_states:
         return h, new_states
@@ -243,17 +247,22 @@ def rnn_scan(layers: list[dict], cell: str, x: jnp.ndarray,
 
 def seq_inputs(params, spec: SeqSpec, item_dev, user_dev, batch,
                lookup_fn=dense_lookup, dropout_rng=None,
-               lookup_fns: dict | None = None) -> jnp.ndarray:
+               lookup_fns: dict | None = None,
+               time_major: bool = False) -> jnp.ndarray:
     """Fused per-step input embeddings [B, L, D] (SURVEY.md §3.2:
-    input_t = fuse(item-attr lookups at position t))."""
+    input_t = fuse(item-attr lookups at position t)). With time_major=True
+    the int32 id matrix is transposed BEFORE the gather, so the embeddings
+    are born [L, B, D] — transposing ids costs B·L·4 bytes; transposing the
+    embeddings after would cost B·L·D·4."""
     lk = lookup_fns or {}
-    x = encode(params["item_in"], spec.item_in, item_dev, batch["inputs"],
+    ids = batch["inputs"].T if time_major else batch["inputs"]
+    x = encode(params["item_in"], spec.item_in, item_dev, ids,
                lk.get("item", lookup_fn),
                dropout_rng=dropout_rng, keep_prob=spec.keep_prob)
     if spec.user is not None:
         u = encode(params["user"], spec.user, user_dev, batch["user"],
                    lk.get("user", lookup_fn))
-        x = x + u[:, None, :]
+        x = x + (u[None, :, :] if time_major else u[:, None, :])
     return x
 
 
@@ -266,24 +275,32 @@ def init_states(spec: SeqSpec, batch_size: int) -> list:
 def seq_hidden(params, spec: SeqSpec, item_dev, user_dev, batch,
                lookup_fn=dense_lookup, dropout_rng=None,
                lookup_fns: dict | None = None,
-               states: list | None = None, return_states: bool = False):
-    """Top-layer hidden states [B, L, H]. `states`/`return_states` expose the
+               states: list | None = None, return_states: bool = False,
+               time_major: bool = False):
+    """Top-layer hidden states [B, L, H] ([L, B, H] with time_major=True —
+    the single-device fast path: ids are transposed before the gather and
+    no [B, L, D]-sized layout change exists anywhere in the pipeline; the
+    mesh path keeps batch-major so the flattened position axis preserves
+    data-parallel sharding locality). `states`/`return_states` expose the
     per-layer (h, c) carries — the temporal-pipelining hook (SURVEY.md §5
     "Long-context"): run segments of a long history through the same jitted
     graph, carrying state, instead of truncating at L."""
     x = seq_inputs(params, spec, item_dev, user_dev, batch, lookup_fn,
-                   dropout_rng, lookup_fns)
-    mask = batch["mask"]
+                   dropout_rng, lookup_fns, time_major=time_major)
+    mask = batch["mask"].T if time_major else batch["mask"]
     if spec.use_pallas_scan and spec.cell == "lstm":
         from arec.kernels.lstm_scan import pallas_lstm_scan
         return pallas_lstm_scan(params["rnn"], x, mask, dtype=spec.dtype,
-                                states=states, return_states=return_states)
+                                states=states, return_states=return_states,
+                                time_major=time_major)
     if spec.use_pallas_scan and spec.cell == "gru":
         from arec.kernels.gru_scan import pallas_gru_scan
         return pallas_gru_scan(params["rnn"], x, mask, dtype=spec.dtype,
-                               states=states, return_states=return_states)
+                               states=states, return_states=return_states,
+                               time_major=time_major)
     return rnn_scan(params["rnn"], spec.cell, x, mask, spec.dtype,
-                    states=states, return_states=return_states)
+                    states=states, return_states=return_states,
+                    time_major=time_major)
 
 
 def seq_loss(params, spec: SeqSpec, item_dev, user_dev, batch,
@@ -291,7 +308,7 @@ def seq_loss(params, spec: SeqSpec, item_dev, user_dev, batch,
              lookup_fns: dict | None = None,
              sampled: tuple | None = None,
              states: list | None = None, return_states: bool = False,
-             use_kernel: bool | None = None):
+             use_kernel: bool | None = None, time_major: bool = False):
     """Sampled-softmax CE over all valid positions (ref losses ce/mce both
     train every position; SURVEY.md §3.2). With `states`/`return_states`
     the loss runs one TBPTT segment: the caller carries (and stop-gradients)
@@ -308,7 +325,8 @@ def seq_loss(params, spec: SeqSpec, item_dev, user_dev, batch,
         def seg_fn(p, st, seg, r):
             return seq_hidden(p, spec, item_dev, user_dev, seg, lookup_fn,
                               dropout_rng=r, lookup_fns=lookup_fns,
-                              states=st, return_states=True)
+                              states=st, return_states=True,
+                              time_major=time_major)
         seg_fn = jax.checkpoint(seg_fn)
         st = states if states is not None else init_states(
             spec, batch["inputs"].shape[0])
@@ -320,17 +338,24 @@ def seq_loss(params, spec: SeqSpec, item_dev, user_dev, batch,
             h_s, st = seg_fn(params, st, seg,
                              jax.random.fold_in(r_drop, s))
             hs.append(h_s)
-        h, new_states = jnp.concatenate(hs, axis=1), st
+        h, new_states = jnp.concatenate(hs, axis=0 if time_major else 1), st
     else:
         h = seq_hidden(params, spec, item_dev, user_dev, batch, lookup_fn,
                        dropout_rng=r_drop, lookup_fns=lookup_fns,
-                       states=states, return_states=return_states)
+                       states=states, return_states=return_states,
+                       time_major=time_major)
         if return_states:
             h, new_states = h
-    b, L, d = h.shape
-    flat_h = h.reshape(b * L, d)
-    flat_t = batch["targets"].reshape(b * L)
-    flat_w = batch["mask"].reshape(b * L)
+    d = h.shape[-1]
+    flat_h = h.reshape(-1, d)
+    if time_major:
+        # position order is (t, b) — the loss is a weighted mean, so any
+        # consistent flattening of (h, targets, mask) gives the same value
+        flat_t = batch["targets"].T.reshape(-1)
+        flat_w = batch["mask"].T.reshape(-1)
+    else:
+        flat_t = batch["targets"].reshape(-1)
+        flat_w = batch["mask"].reshape(-1)
     if spec.tie_output:
         embed = lambda ids: encode_with_bias(
             params["item_in"], spec.item_in, item_dev, ids,

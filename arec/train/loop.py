@@ -164,12 +164,18 @@ class Trainer:
             self.spec, self.item_dev, self.user_dev, self.lookup)
         # the Pallas fused-CE kernel does not partition under GSPMD, so the
         # mesh path pins the (equally exact) XLA-fused fallback; single
-        # device keeps the size heuristic (arec/losses/losses.py)
+        # device keeps the size heuristic (arec/losses/losses.py).
+        # time_major likewise: the single-device seq path transposes int32
+        # ids instead of embeddings (no [B,L,D] layout changes); the mesh
+        # path stays batch-major so the flattened position axis preserves
+        # data-parallel sharding locality.
         use_kernel = False if self.use_mesh else None
+        time_major = not self.use_mesh
         if self.is_seq:
             def loss_fn(p, batch, rng):
                 return seq_mod.seq_loss(p, spec, item_dev, user_dev, batch,
-                                        rng, lookup, use_kernel=use_kernel)
+                                        rng, lookup, use_kernel=use_kernel,
+                                        time_major=time_major)
         else:
             def loss_fn(p, batch, rng):
                 return mf_mod.mf_loss(p, spec, user_dev, item_dev, batch,

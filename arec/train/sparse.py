@@ -283,9 +283,11 @@ def make_sparse_train_step(
             for role, sub in subs.items():
                 p = set_path(p, by_role[role].path, sub)
             if is_seq:
+                # time-major: this step is single-device only, so the
+                # sharding-locality caveat of the mesh path doesn't apply
                 return seq_mod.seq_loss(p, spec, item_dev, user_dev, batch,
                                         rng, lookup_fns=lookup_fns,
-                                        sampled=sampled)
+                                        sampled=sampled, time_major=True)
             return mf_mod.mf_loss(p, spec, user_dev, item_dev, batch, rng,
                                   lookup_fns=lookup_fns, sampled=sampled)
 

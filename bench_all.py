@@ -129,7 +129,8 @@ def bench_lstm(out, ds, opt):
     sparams = init_seq(jax.random.key(0), sspec)
     sstate = init_state(sparams, opt)
     sstep = make_train_step(
-        lambda p, b, r: seq_loss(p, sspec, sitem_dev, None, b, r), opt, 0.3)
+        lambda p, b, r: seq_loss(p, sspec, sitem_dev, None, b, r,
+                                 time_major=True), opt, 0.3)
     sring = []
     for i, b in enumerate(seq_batches(ds, SB, L, 0, 0)):
         sring.append({k: jnp.asarray(v) for k, v in b.items()})
@@ -223,7 +224,8 @@ def bench_lstm_bigvocab(out, opt):
         if mode == "dense":
             state = init_state(params, opt)
             step = make_train_step(
-                lambda p, b, r: seq_loss(p, lspec, lidev, None, b, r),
+                lambda p, b, r: seq_loss(p, lspec, lidev, None, b, r,
+                                         time_major=True),
                 opt, 0.3)
         else:
             state = init_sparse_state(

@@ -155,6 +155,47 @@ def test_pallas_gru_gradients_match_scan(xm):
                                rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.parametrize("pallas,segments", [(False, 1), (True, 1),
+                                             (False, 2)])
+def test_time_major_loss_matches_batch_major(pallas, segments):
+    """The single-device time-major fast path (ids transposed before the
+    gather, no embedding-sized layout changes) must give the same loss and
+    gradients as the batch-major path, for the lax.scan and Pallas
+    recurrences and for the segmented (temporal-pipelining) scan."""
+    from arec.data.dataset import seq_batches
+    from arec.data.synthetic import generate
+
+    L = 6
+    cfg = Config(
+        data=DataConfig(syn_users=120, syn_items=90, syn_interactions=2600,
+                        data_dir="/tmp/arec_test_tm"),
+        model=ModelConfig(model="lstm", dim=16, use_attributes=True,
+                          max_seq_len=L, train_segments=segments,
+                          use_pallas_scan=pallas),
+        train=TrainConfig(batch_size=32, num_sampled=16,
+                          compute_dtype="float32"),
+    )
+    ds = generate(cfg.data)
+    spec = SeqSpec.from_config(cfg, ds.user_schema, ds.item_schema)
+    params = init_seq(jax.random.key(0), spec)
+    item_dev = attrs_to_device(ds.item_attrs.restrict(spec.item_in.schema))
+    batch = next(iter(seq_batches(ds, 32, spec.pack_len, 0, 0)))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    rng = jax.random.key(3)
+
+    def f(tm):
+        return lambda p: seq_loss(p, spec, item_dev, None, batch, rng,
+                                  time_major=tm)
+
+    l0, g0 = jax.value_and_grad(f(False))(params)
+    l1, g1 = jax.value_and_grad(f(True))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def _recall_seq(params, spec, item_dev, user_dev, ds):
     v, b = seq_item_latents(params, spec, item_dev)
     hits = total = 0.0
