@@ -131,15 +131,19 @@ def test_sharded_seq_loss_and_grads_match_single_device(setup, mesh_shape):
                                    rtol=1e-4, atol=1e-6)
 
 
-@pytest.mark.parametrize("lookup", ["alltoall", "gspmd"])
-def test_trainer_sharded_end_to_end(tmp_path, lookup):
+@pytest.mark.parametrize("model,lookup", [("mf", "alltoall"),
+                                          ("mf", "gspmd"),
+                                          ("lstm", "alltoall")])
+def test_trainer_sharded_end_to_end(tmp_path, model, lookup):
     """Trainer on a (2,4) mesh: a few steps run, loss finite and decreasing,
-    eval + recommend paths work — for both the explicit all-to-all exchange
-    and the GSPMD (XLA-chosen collectives) lookup backends."""
+    eval + recommend paths work — for the explicit all-to-all exchange and
+    the GSPMD (XLA-chosen collectives) lookup backends, and for BOTH model
+    families (the LSTM case is the c5 multihost-XING config's shape)."""
     cfg = Config(
         data=DataConfig(syn_users=150, syn_items=120, syn_interactions=3000,
                         data_dir=str(tmp_path / "data")),
-        model=ModelConfig(model="mf", dim=16, use_attributes=True),
+        model=ModelConfig(model=model, dim=16, use_attributes=True,
+                          max_seq_len=6, use_pallas_scan=False),
         train=TrainConfig(batch_size=64, num_sampled=32, n_epoch=2,
                           steps_per_checkpoint=10_000,
                           compute_dtype="float32",
