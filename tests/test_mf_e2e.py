@@ -75,6 +75,59 @@ def test_mf_end_to_end_learns(use_attributes):
     assert recall_after > recall_before + 0.05, (recall_before, recall_after)
 
 
+def test_sampled_softmax_converges_like_full_softmax():
+    """SURVEY.md §4 "Parity tests": on a tiny dataset where full softmax is
+    tractable, sampled-softmax training must converge to the same Recall@30
+    ±ε as training against the exact full-softmax CE. This is the guard on
+    the sampler distribution + the −log(S·P) correction: a wrong proposal
+    or correction biases the gradient and shows up here as a recall gap."""
+    cfg = Config(
+        data=DataConfig(syn_users=300, syn_items=120, syn_interactions=9000),
+        model=ModelConfig(model="mf", dim=24, use_attributes=False),
+        train=TrainConfig(batch_size=128, learning_rate=0.3, num_sampled=32,
+                          loss="ce", compute_dtype="float32"),
+    )
+    ds = generate(cfg.data)
+    spec = MFSpec.from_config(cfg, ds.user_schema, ds.item_schema)
+    user_dev = attrs_to_device(ds.user_attrs.restrict(spec.user.schema))
+    item_dev = attrs_to_device(ds.item_attrs.restrict(spec.item.schema))
+
+    from arec.losses.losses import full_softmax_loss
+    from arec.models.mf import mf_user_latents
+
+    def full_loss(p, batch, rng):
+        u = mf_user_latents(p, spec, user_dev, batch["user"])
+        v, b = mf_item_latents(p, spec, item_dev)
+        return full_softmax_loss(u, batch["pos_item"], v, b,
+                                 compute_dtype=jnp.float32)
+
+    def sampled_loss(p, batch, rng):
+        return mf_loss(p, spec, user_dev, item_dev, batch, rng)
+
+    r0 = _recall(init_mf(jax.random.key(0), spec), spec, user_dev,
+                 item_dev, ds)
+    recalls = {}
+    for name, loss_fn in (("full", full_loss), ("sampled", sampled_loss)):
+        params = init_mf(jax.random.key(0), spec)
+        opt = make_optimizer("adagrad", cfg.train.learning_rate)
+        state = init_state(params, opt)
+        step = make_train_step(loss_fn, opt, cfg.train.learning_rate,
+                               donate=False)
+        rng = jax.random.key(9)
+        for epoch in range(8):
+            for batch in mf_batches(ds, cfg.train.batch_size, 0, epoch):
+                rng, sub = jax.random.split(rng)
+                state, _ = step(
+                    state, {k: jnp.asarray(v) for k, v in batch.items()}, sub)
+        recalls[name] = _recall(state.params, spec, user_dev, item_dev, ds)
+
+    # the exact objective must clearly learn, and sampled must land within
+    # ε of it — a wrong proposal distribution or −log(S·P) correction shows
+    # up here as a recall gap
+    assert recalls["full"] > r0 + 0.05, (r0, recalls)
+    assert recalls["sampled"] >= recalls["full"] - 0.06, recalls
+
+
 def test_mf_losses_all_run_one_step():
     cfg = Config(
         data=DataConfig(syn_users=100, syn_items=80, syn_interactions=2000),
