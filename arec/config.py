@@ -81,6 +81,11 @@ class TrainConfig:
     sampler: str = "log_uniform"  # {log_uniform, uniform} negative sampler
     seed: int = 0
     eval_topk: int = 30         # Recall@30 is the graded metric (BASELINE.json:2)
+    serve_recall_target: float = 1.0  # recommend-mode selection: 1.0 = exact
+                                # top-k; <1 = approx_max_k serving mode
+                                # (~10x qps at V=300k, per-element recall ≥
+                                # target in expectation). Training eval is
+                                # always exact regardless.
     train_dir: str = "_train"
     max_steps: int = 0          # 0 = unlimited (epoch-bounded); else hard cap
     compute_dtype: str = "bfloat16"  # matmul input dtype; params stay fp32

@@ -24,18 +24,22 @@ BLOCKED_EVAL_MIN_V = 131072  # above this, stream item blocks
 
 def topk_with_mask(
     query, item_latents, item_bias, seen, k: int = 30,
-    compute_dtype=jnp.bfloat16,
+    compute_dtype=jnp.bfloat16, recall_target: float = 1.0,
 ):
     """Dispatch by vocabulary size. Small V: materialize [B, V] scores,
     scatter the seen penalty, one top_k. Production V: the query-blocked
     path (arec.retrieval.mips.blocked_topk_mips) — peak score memory
     bounded by its score_mem_mb budget where the full [B, V] matrix would
     be tens of GB (XING: V ≈ 1.3M). The two are exactly equal
-    (tests/test_retrieval.py)."""
-    if item_latents.shape[0] > BLOCKED_EVAL_MIN_V:
+    (tests/test_retrieval.py).
+
+    recall_target < 1 opts into the approx_max_k serving mode (~10× qps at
+    V=300k — see blocked_topk_mips); graded eval always stays exact."""
+    if recall_target < 1.0 or item_latents.shape[0] > BLOCKED_EVAL_MIN_V:
         from arec.retrieval.mips import blocked_topk_mips
         return blocked_topk_mips(query, item_latents, item_bias, seen, k=k,
-                                 compute_dtype=compute_dtype)
+                                 compute_dtype=compute_dtype,
+                                 recall_target=recall_target)
     return _topk_full(query, item_latents, item_bias, seen, k=k,
                       compute_dtype=compute_dtype)
 

@@ -278,7 +278,8 @@ class Trainer:
                                      compute_dtype=self.spec.dtype)
         else:
             from arec.train.evalu import topk_with_mask
-            topk = partial(topk_with_mask, k=k)
+            topk = partial(topk_with_mask, k=k,
+                           recall_target=self.cfg.train.serve_recall_target)
         rows = []
         L = self.spec.pack_len if self.is_seq else 0
         for batch in eval_batches(self.ds, 256, max_seq_len=L):
