@@ -78,7 +78,12 @@ def sampled_softmax_loss(
                                    # (LSTM 2048×30 = 61k rows: 324k vs
                                    # 246k seq/s, +31%) — so the kernel
                                    # turns on at N ≥ _KERNEL_MIN_ROWS on
-                                   # real TPU
+                                   # real TPU. CAUTION: Pallas custom-calls
+                                   # do not partition under GSPMD — any
+                                   # caller tracing this under a mesh MUST
+                                   # pass use_kernel=False explicitly (the
+                                   # Trainer does; the heuristic cannot see
+                                   # sharding from inside a trace)
 ) -> jnp.ndarray:
     """TF1 `tf.nn.sampled_softmax_loss` semantics, rebuilt:
     S shared negatives per step, −log(S·P) logit correction, accidental-hit

@@ -273,6 +273,9 @@ class Trainer:
         k = k or self.cfg.train.eval_topk
         v, b = self._item_latents()
         if self.use_mesh:
+            if self.cfg.train.serve_recall_target < 1.0:
+                print("[config] serve_recall_target ignored on a mesh: the "
+                      "sharded top-k merge path is exact-only", flush=True)
             v, b = pad_item_shards(v, b, self.cfg.mesh.model)
             topk = make_sharded_topk(self.mesh, k=k,
                                      compute_dtype=self.spec.dtype)

@@ -68,6 +68,22 @@ def _bench_steps(step, state, ring, rng, warmup=5, iters=None, windows=5):
     return dt, state
 
 
+def _bench_queries(tk):
+    """Median-of-5-windows elapsed seconds for ITERS calls of tk(), synced
+    by a tiny scalar readback: on the remote (axon) backend
+    block_until_ready alone can report impossible speeds in a fresh
+    process (lazy dispatch — see .claude/skills/verify)."""
+    float(jnp.asarray(tk()[0]).ravel()[0])
+    per, times = max(1, ITERS // 5), []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(per):
+            r = tk()
+        float(jnp.asarray(r[0]).ravel()[0])
+        times.append(time.perf_counter() - t0)
+    return sorted(times)[2] * ITERS / per
+
+
 def _record(out, **rec):
     rec["t"] = time.time()
     out.append(rec)
@@ -250,17 +266,7 @@ def bench_retrieval(out, ds, mf_result):
     QB = 4096
     q = jax.random.normal(jax.random.key(3), (QB, spec.user.dim))
     seen = jnp.asarray(ds.seen_items[:QB])
-    tk = lambda: topk_with_mask(q, v, bias, seen, k=30)
-    jax.block_until_ready(tk())
-    # median of 5 windows (see _bench_steps: tunnel-stall robustness)
-    per, times = max(1, ITERS // 5), []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        for _ in range(per):
-            r = tk()
-        jax.block_until_ready(r)
-        times.append(time.perf_counter() - t0)
-    dt = sorted(times)[2] * ITERS / per
+    dt = _bench_queries(lambda: topk_with_mask(q, v, bias, seen, k=30))
     _record(out, metric="retrieval_top30_qps",
             value=round(QB * ITERS / dt, 1), unit="queries/s",
             config=f"V={ds.num_items} dim64 batch{QB} seen-masked")
@@ -281,20 +287,8 @@ def bench_retrieval_bigvocab(out):
     q = jax.random.normal(jax.random.fold_in(kv, 2), (QB, D), jnp.float32)
     seen = jax.random.randint(jax.random.fold_in(kv, 3), (QB, SW), 0, V)
     for mode, rt in (("exact", 1.0), ("approx95", 0.95)):
-        tk = lambda: blocked_topk_mips(q, v, bias, seen, k=30,
-                                       recall_target=rt)
-        # sync via a tiny readback: on the remote (axon) backend
-        # block_until_ready alone reports impossible speeds in a fresh
-        # process (lazy dispatch — see .claude/skills/verify)
-        float(jnp.asarray(tk()[0]).ravel()[0])
-        per, times = max(1, ITERS // 5), []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            for _ in range(per):
-                r = tk()
-            float(jnp.asarray(r[0]).ravel()[0])
-            times.append(time.perf_counter() - t0)
-        dt = sorted(times)[2] * ITERS / per
+        dt = _bench_queries(lambda: blocked_topk_mips(
+            q, v, bias, seen, k=30, recall_target=rt))
         _record(out, metric=f"retrieval_bigvocab_top30_{mode}_qps",
                 value=round(QB * ITERS / dt, 1), unit="queries/s",
                 config=f"V={V} dim{D} batch{QB} seen{SW} query-blocked")

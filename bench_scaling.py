@@ -85,7 +85,7 @@ def main() -> None:
         state = tr.state
         for i in range(5):  # warmup + compile
             rng, sub = jax.random.split(rng)
-            state, _ = tr.step_fn(state, ring[i % 4], sub)
+            state, _ = tr.step_fn(state, ring[i % len(ring)], sub)
         jax.block_until_ready(state.params)
         times = []
         per = max(1, args.steps // 5)
@@ -93,7 +93,7 @@ def main() -> None:
             t0 = time.perf_counter()
             for i in range(per):
                 rng, sub = jax.random.split(rng)
-                state, _ = tr.step_fn(state, ring[i % 4], sub)
+                state, _ = tr.step_fn(state, ring[i % len(ring)], sub)
             jax.block_until_ready(state.params)
             times.append(time.perf_counter() - t0)
         dt = sorted(times)[2] / per
