@@ -31,12 +31,14 @@ from arec.models.mf import MFSpec, init_mf, mf_loss
 from arec.tables.engine import attrs_to_device
 from arec.train.step import init_state, make_multi_step, make_optimizer
 
-# batch 16384 saturates the chip (measured: 1.43M ex/s @4096, 2.76M @16384,
-# 2.68M @65536 — dispatch overhead amortizes by 16k and HBM takes over)
-BATCH = 16384
-K = 8          # steps per dispatch (train.steps_per_dispatch): one lax.scan
+# batch sweep (same-process A/B, contended chip, relative numbers): 3.43M
+# ex/s @16384, 3.61M @32768, 3.58M @65536 — and at 32768 rows the Pallas
+# fused-CE kernel auto-enables (arec/losses/losses.py _KERNEL_MIN_ROWS)
+# for another +15%: 4.14M. 32768 is the sweet spot.
+BATCH = 32768
+K = 4          # steps per dispatch (train.steps_per_dispatch): one lax.scan
                # jit per K steps removes the ~0.6 ms/step launch latency of
-               # the remote-TPU tunnel (device busy time is ~1.8 ms/step)
+               # the remote-TPU tunnel
 WARMUP, STEPS = 2, 12  # in units of K-step dispatches
 
 
