@@ -86,6 +86,10 @@ def main() -> None:
     for i in range(WARMUP):
         state, m = step(state, blocks[i % len(blocks)], subs(gstep))
         gstep += K
+    # PRIME the remote backend with a real host readback: in a fresh
+    # process block_until_ready alone can return before execution (lazy
+    # dispatch, observed 45× overreads); after one device_get it behaves
+    assert jnp.isfinite(float(jnp.asarray(m["loss"][-1]))), "loss not finite"
     jax.block_until_ready(state.params)
 
     # median of 3 timed windows: the TPU sits behind a remote tunnel whose

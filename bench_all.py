@@ -55,6 +55,11 @@ def _bench_steps(step, state, ring, rng, warmup=5, iters=None, windows=5):
     for i in range(warmup):
         rng, sub = jax.random.split(rng)
         state, m = step(state, ring[i % len(ring)], sub)
+    # PRIME the remote (axon) backend with a real host readback: in a fresh
+    # process block_until_ready alone can return before execution (lazy
+    # dispatch — observed 45× overreads); after one device_get it behaves.
+    # The loss scalar readback also catches NaNs early.
+    assert float(jnp.asarray(m["loss"])) == float(jnp.asarray(m["loss"]))
     jax.block_until_ready(state.params)
     times = []
     for w in range(windows):
