@@ -166,9 +166,11 @@ def bench_lstm(out, ds, opt):
             unit="positions/s/chip", config="same")
 
 
-def bench_mf_bigvocab(out, opt):
+def bench_mf_bigvocab(out, opt, nu=1_000_000, ni=300_000, batch=None,
+                      iters=None):
     """Sparse vs dense table updates at production vocab scale
-    (arec/train/sparse.py: O(touched rows) optimizer traffic)."""
+    (arec/train/sparse.py: O(touched rows) optimizer traffic). The size
+    params exist so tests can smoke this section tiny on CPU."""
     from arec.data.schema import AttributeData, EntitySchema
     from arec.models.mf import MFSpec, init_mf, mf_loss
     from arec.tables.engine import EncoderSpec, attrs_to_device
@@ -177,20 +179,22 @@ def bench_mf_bigvocab(out, opt):
     )
     from arec.train.step import init_state, make_train_step
 
-    NU, NI = 1_000_000, 300_000
+    NU, NI = nu, ni
+    batch = batch or BATCH
     us = EntitySchema("user", NU, (EntitySchema.id_field("user", NU),))
     its = EntitySchema("item", NI, (EntitySchema.id_field("item", NI),))
     ua = AttributeData(us, AttributeData.id_identity(us))
     ia = AttributeData(its, AttributeData.id_identity(its))
-    bspec = MFSpec(user=EncoderSpec(us, 64), item=EncoderSpec(its, 64),
+    bspec = MFSpec(user=EncoderSpec(us, 64),
+                   item=EncoderSpec(its, 64, with_bias=True),
                    num_sampled=1024)
     budev = attrs_to_device(ua, bspec.user)
     bidev = attrs_to_device(ia, bspec.item)
     rng_np = np.random.default_rng(0)
     ring = [{"user": jnp.asarray(
-                 rng_np.integers(0, NU, BATCH).astype(np.int32)),
+                 rng_np.integers(0, NU, batch).astype(np.int32)),
              "pos_item": jnp.asarray(
-                 rng_np.integers(0, NI, BATCH).astype(np.int32))}
+                 rng_np.integers(0, NI, batch).astype(np.int32))}
             for _ in range(4)]
     for mode in ("dense", "sparse"):
         params = init_mf(jax.random.key(0), bspec)
@@ -204,17 +208,19 @@ def bench_mf_bigvocab(out, opt):
                 params, table_paths(False, bspec), opt, "adagrad")
             step = make_sparse_train_step(
                 False, bspec, budev, bidev, opt, 0.3, "adagrad")
-        dt, state = _bench_steps(step, state, ring, jax.random.key(4))
+        dt, state = _bench_steps(step, state, ring, jax.random.key(4),
+                                 iters=iters)
         _record(out, metric=f"mf_bigvocab_{mode}_examples_per_s_per_chip",
-                value=round(BATCH * ITERS / dt / CHIPS, 1),
+                value=round(batch * (iters or ITERS) / dt / CHIPS, 1),
                 unit="examples/s/chip",
-                config=f"ID-only MF U={NU} V={NI} dim64 S1024 batch{BATCH}")
+                config=f"ID-only MF U={NU} V={NI} dim64 S1024 batch{batch}")
         del state, step, params
 
 
-def bench_lstm_bigvocab(out, opt):
+def bench_lstm_bigvocab(out, opt, ni=300_000, batch=None, iters=None):
     """XING-shaped regime: output table + input encoder at V=300k make the
-    dense optimizer pass the dominant cost."""
+    dense optimizer pass the dominant cost. Size params: see
+    bench_mf_bigvocab."""
     from arec.data.schema import AttributeData, EntitySchema
     from arec.models.seq import SeqSpec, init_seq, seq_loss
     from arec.tables.engine import EncoderSpec, attrs_to_device
@@ -223,7 +229,8 @@ def bench_lstm_bigvocab(out, opt):
     )
     from arec.train.step import init_state, make_train_step
 
-    NIL = 300_000
+    NIL = ni
+    batch = batch or SB
     lis = EntitySchema("item", NIL, (EntitySchema.id_field("item", NIL),))
     lia = AttributeData(lis, AttributeData.id_identity(lis))
     lspec = SeqSpec(item_in=EncoderSpec(lis, 64), user=None,
@@ -232,13 +239,13 @@ def bench_lstm_bigvocab(out, opt):
     rng_np = np.random.default_rng(1)
     ring = []
     for _ in range(4):
-        hist = rng_np.integers(0, NIL, (SB, L + 1)).astype(np.int32)
+        hist = rng_np.integers(0, NIL, (batch, L + 1)).astype(np.int32)
         ring.append({
             "user": jnp.asarray(
-                rng_np.integers(0, 1000, SB).astype(np.int32)),
+                rng_np.integers(0, 1000, batch).astype(np.int32)),
             "inputs": jnp.asarray(hist[:, :-1]),
             "targets": jnp.asarray(hist[:, 1:]),
-            "mask": jnp.ones((SB, L), jnp.float32),
+            "mask": jnp.ones((batch, L), jnp.float32),
         })
     for mode in ("dense", "sparse"):
         params = init_seq(jax.random.key(0), lspec)
@@ -253,11 +260,12 @@ def bench_lstm_bigvocab(out, opt):
                 params, table_paths(True, lspec), opt, "adagrad")
             step = make_sparse_train_step(
                 True, lspec, None, lidev, opt, 0.3, "adagrad")
-        dt, state = _bench_steps(step, state, ring, jax.random.key(5))
+        dt, state = _bench_steps(step, state, ring, jax.random.key(5),
+                                 iters=iters)
         _record(out, metric=f"lstm_bigvocab_{mode}_seqs_per_s_per_chip",
-                value=round(SB * ITERS / dt / CHIPS, 1),
+                value=round(batch * (iters or ITERS) / dt / CHIPS, 1),
                 unit="sequences/s/chip",
-                config=f"ID-only LSTM V={NIL} dim64 L{L} S1024 batch{SB}")
+                config=f"ID-only LSTM V={NIL} dim64 L{L} S1024 batch{batch}")
         del state, step, params
 
 
