@@ -235,33 +235,50 @@ class Trainer:
                                  table_paths(self.is_seq, self.spec))
         return self.state.params
 
-    def _item_latents(self):
-        params = self._eval_params()
+    def _item_latents(self, params=None):
+        params = self._eval_params() if params is None else params
         if self.is_seq:
             return seq_mod.seq_item_latents(params, self.spec, self.item_dev)
         return mf_mod.mf_item_latents(params, self.spec, self.item_dev)
 
-    def _queries(self, batch):
-        params = self._eval_params()
+    def _query_fn(self, params, batch):
         if self.is_seq:
             return seq_mod.seq_final_state_full(
                 params, self.spec, self.item_dev, self.user_dev, batch)
         return mf_mod.mf_user_latents(
             params, self.spec, self.user_dev, batch["user"])
 
+    def _queries(self, batch):
+        return self._query_fn(self._eval_params(), batch)
+
+    def _eval_step(self, k: int):
+        """Jitted per-batch eval step: queries → masked top-k → hit counts.
+        Eager op-by-op eval pays per-dispatch latency on a remote TPU
+        (~0.5 ms/op over the tunnel); one jit per fixed batch shape
+        removes it. Cached on (k,)."""
+        if getattr(self, "_eval_jit_k", None) != k:
+            def step(params, v, b, batch, seen):
+                q = self._query_fn(params, batch)
+                return recall_hits(q, v, b, seen, batch["pos_item"],
+                                   batch["valid"], k=k)
+            self._eval_jit = jax.jit(step)
+            self._eval_jit_k = k
+        return self._eval_jit
+
     def evaluate(self, k: int | None = None) -> float:
         """Valid Recall@K with seen-item masking (SURVEY.md §3.3)."""
         k = k or self.cfg.train.eval_topk
-        v, b = self._item_latents()
+        params = self._eval_params()
+        v, b = self._item_latents(params)
         v, b = jax.device_get(v), jax.device_get(b)  # freeze for the sweep
         v, b = jnp.asarray(v), jnp.asarray(b)
+        step = self._eval_step(k)
         hits = total = 0.0
         L = self.spec.pack_len if self.is_seq else 0
         for batch in eval_batches(self.ds, 256, max_seq_len=L):
             jb = {kk: jnp.asarray(x) for kk, x in batch.items()}
-            q = self._queries(jb)
             seen = jnp.asarray(self.ds.seen_items[batch["user"]])
-            h, t = recall_hits(q, v, b, seen, jb["pos_item"], jb["valid"], k=k)
+            h, t = step(params, v, b, jb, seen)
             hits += float(h)
             total += float(t)
         return hits / max(total, 1.0)
