@@ -300,13 +300,19 @@ class Trainer:
             from arec.train.evalu import topk_with_mask
             topk = partial(topk_with_mask, k=k,
                            recall_target=self.cfg.train.serve_recall_target)
+        params = self._eval_params()
+
+        @jax.jit
+        def serve_step(params, v, b, batch, seen):
+            q = self._query_fn(params, batch)
+            return topk(q, v, b, seen)
+
         rows = []
         L = self.spec.pack_len if self.is_seq else 0
         for batch in eval_batches(self.ds, 256, max_seq_len=L):
             jb = {kk: jnp.asarray(x) for kk, x in batch.items()}
-            q = self._queries(jb)
             seen = jnp.asarray(self.ds.seen_items[batch["user"]])
-            _, ids = topk(q, v, b, seen)
+            _, ids = serve_step(params, v, b, jb, seen)
             ids = np.asarray(ids)
             for u, row, ok in zip(batch["user"], ids, batch["valid"]):
                 if ok:
