@@ -265,6 +265,30 @@ class Trainer:
             self._eval_jit_k = k
         return self._eval_jit
 
+    def _serve_step(self, k: int):
+        """Jitted per-batch serving step: queries → (sharded) masked top-k.
+        Cached on (k,) like _eval_step — a fresh jit wrapper per
+        recommend() call would recompile every time."""
+        if getattr(self, "_serve_jit_k", None) != k:
+            if self.use_mesh:
+                if self.cfg.train.serve_recall_target < 1.0:
+                    print("[config] serve_recall_target ignored on a mesh: "
+                          "the sharded top-k merge path is exact-only",
+                          flush=True)
+                topk = make_sharded_topk(self.mesh, k=k,
+                                         compute_dtype=self.spec.dtype)
+            else:
+                from arec.train.evalu import topk_with_mask
+                topk = partial(topk_with_mask, k=k,
+                               recall_target=self.cfg.train.serve_recall_target)
+
+            def step(params, v, b, batch, seen):
+                q = self._query_fn(params, batch)
+                return topk(q, v, b, seen)
+            self._serve_jit = jax.jit(step)
+            self._serve_jit_k = k
+        return self._serve_jit
+
     def evaluate(self, k: int | None = None) -> float:
         """Valid Recall@K with seen-item masking (SURVEY.md §3.3)."""
         k = k or self.cfg.train.eval_topk
@@ -288,25 +312,11 @@ class Trainer:
         submission writer when out_path is set — SURVEY.md §2.1
         "Evaluation")."""
         k = k or self.cfg.train.eval_topk
-        v, b = self._item_latents()
+        params = self._eval_params()   # once: the sparse path unpacks here
+        v, b = self._item_latents(params)
         if self.use_mesh:
-            if self.cfg.train.serve_recall_target < 1.0:
-                print("[config] serve_recall_target ignored on a mesh: the "
-                      "sharded top-k merge path is exact-only", flush=True)
             v, b = pad_item_shards(v, b, self.cfg.mesh.model)
-            topk = make_sharded_topk(self.mesh, k=k,
-                                     compute_dtype=self.spec.dtype)
-        else:
-            from arec.train.evalu import topk_with_mask
-            topk = partial(topk_with_mask, k=k,
-                           recall_target=self.cfg.train.serve_recall_target)
-        params = self._eval_params()
-
-        @jax.jit
-        def serve_step(params, v, b, batch, seen):
-            q = self._query_fn(params, batch)
-            return topk(q, v, b, seen)
-
+        serve_step = self._serve_step(k)
         rows = []
         L = self.spec.pack_len if self.is_seq else 0
         for batch in eval_batches(self.ds, 256, max_seq_len=L):
