@@ -155,9 +155,10 @@ def test_pallas_gru_gradients_match_scan(xm):
                                rtol=2e-3, atol=2e-4)
 
 
-@pytest.mark.parametrize("pallas,segments", [(False, 1), (True, 1),
-                                             (False, 2)])
-def test_time_major_loss_matches_batch_major(pallas, segments):
+@pytest.mark.parametrize("pallas,segments,cell",
+                         [(False, 1, "lstm"), (True, 1, "lstm"),
+                          (False, 2, "lstm"), (True, 1, "gru")])
+def test_time_major_loss_matches_batch_major(pallas, segments, cell):
     """The single-device time-major fast path (ids transposed before the
     gather, no embedding-sized layout changes) must give the same loss and
     gradients as the batch-major path, for the lax.scan and Pallas
@@ -170,7 +171,7 @@ def test_time_major_loss_matches_batch_major(pallas, segments):
         data=DataConfig(syn_users=120, syn_items=90, syn_interactions=2600,
                         data_dir="/tmp/arec_test_tm"),
         model=ModelConfig(model="lstm", dim=16, use_attributes=True,
-                          max_seq_len=L, train_segments=segments,
+                          cell=cell, max_seq_len=L, train_segments=segments,
                           use_pallas_scan=pallas),
         train=TrainConfig(batch_size=32, num_sampled=16,
                           compute_dtype="float32"),
