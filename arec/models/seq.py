@@ -74,6 +74,13 @@ class SeqSpec:
     @staticmethod
     def from_config(cfg: Config, user_schema: EntitySchema,
                     item_schema: EntitySchema) -> "SeqSpec":
+        if cfg.train.loss not in ("ce", "mce"):
+            # the seq family trains every valid position under sampled CE
+            # (ref losses ce/mce are the same computation here); reject
+            # MF-only losses instead of silently ignoring them
+            raise ValueError(
+                f"sequence model supports loss ce/mce, not "
+                f"{cfg.train.loss!r}")
         if not cfg.model.use_attributes:
             item_schema = item_schema.id_only()
             user_schema = user_schema.id_only()
