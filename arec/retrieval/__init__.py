@@ -1,1 +1,3 @@
-from arec.retrieval.mips import sharded_topk, topk_mips
+from arec.retrieval.mips import (
+    blocked_topk_mips, make_sharded_topk, sharded_topk, topk_mips,
+)
