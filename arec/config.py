@@ -78,7 +78,11 @@ class TrainConfig:
     steps_per_checkpoint: int = 200
     loss: str = "ce"            # {ce, warp, bpr, mw, bbpr}; lstm: {ce, mce}
     num_sampled: int = 256      # negatives per step (shared across batch)
-    sampler: str = "log_uniform"  # {log_uniform, uniform} negative sampler
+    sampler: str = "log_uniform"  # {log_uniform, uniform, pop} negative
+                                # sampler; "pop" = empirical popularity^α
+                                # over train item counts (TF1
+                                # fixed_unigram_candidate_sampler analog)
+    sampler_power: float = 1.0  # α distortion for sampler="pop"
     seed: int = 0
     eval_topk: int = 30         # Recall@30 is the graded metric (BASELINE.json:2)
     serve_recall_target: float = 1.0  # recommend-mode selection: 1.0 = exact

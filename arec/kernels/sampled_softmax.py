@@ -214,3 +214,45 @@ def _vjp_bwd(nt, dtype, res, g):
 
 
 fused_sampled_ce.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Mesh wrapper
+# ---------------------------------------------------------------------------
+
+def fused_sampled_ce_sharded(mesh, q, v_true, v_samp, c_samp, tl_base,
+                             true_ids, sampled_ids, nt=256,
+                             dtype=jnp.bfloat16):
+    """`fused_sampled_ce` on a device mesh, via an inner `shard_map`.
+
+    Pallas custom-calls do not partition under GSPMD, but they run fine
+    per-device under manual sharding: rows (queries/positives) are split
+    over EVERY mesh axis — matching the row layout the sharded lookup
+    already emits (arec/tables/sharded.py out_spec) — and the shared
+    sampled side is replicated. `check_vma=False` because `pallas_call`
+    carries no varying-axes rule in jax 0.9; the shard_map transpose still
+    psums the replicated-input cotangents (dv_samp/dc_samp) over the mesh,
+    which tests/test_fused_softmax.py verifies against the pure-JAX path
+    on (2,4)/(4,2)/(8,1)/(1,8) fake-device meshes (values + all grads).
+    """
+    from jax.sharding import PartitionSpec as P
+    rows = P(tuple(mesh.axis_names))
+    rep = P()
+    n = q.shape[0]
+    n_pad = -(-n // mesh.size) * mesh.size
+    if n_pad != n:
+        pad = n_pad - n
+        q = jnp.pad(q, ((0, pad), (0, 0)))
+        v_true = jnp.pad(v_true, ((0, pad), (0, 0)))
+        tl_base = jnp.pad(tl_base, (0, pad))
+        # pad target id -1 never equals a sampled id → no phantom hits; the
+        # pad rows are sliced off below, so zero cotangent reaches them
+        true_ids = jnp.pad(true_ids, (0, pad), constant_values=-1)
+    ce = jax.shard_map(
+        lambda *a: fused_sampled_ce(*a, nt, dtype),
+        mesh=mesh,
+        in_specs=(rows, rows, rep, rep, rows, rows, rep),
+        out_specs=rows,
+        check_vma=False,
+    )(q, v_true, v_samp, c_samp, tl_base, true_ids, sampled_ids)
+    return ce[:n]

@@ -77,38 +77,52 @@ def sampled_softmax_loss(
                                    # materialization dominates HBM traffic
                                    # (LSTM 2048×30 = 61k rows: 324k vs
                                    # 246k seq/s, +31%) — so the kernel
-                                   # turns on at N ≥ _KERNEL_MIN_ROWS on
-                                   # real TPU. CAUTION: Pallas custom-calls
-                                   # do not partition under GSPMD — any
-                                   # caller tracing this under a mesh MUST
-                                   # pass use_kernel=False explicitly (the
-                                   # Trainer does; the heuristic cannot see
-                                   # sharding from inside a trace)
+                                   # turns on at N ≥ _KERNEL_MIN_ROWS
+                                   # *per device* on real TPU. Pallas
+                                   # custom-calls do not partition under
+                                   # GSPMD, so a caller tracing this under
+                                   # a mesh MUST pass `mesh` — the kernel
+                                   # then runs per-shard via an inner
+                                   # shard_map (rows split over every mesh
+                                   # axis, sampled side replicated)
+    mesh=None,                     # jax.sharding.Mesh when tracing under
+                                   # GSPMD; selects the shard_map kernel
+                                   # wrapper and makes the heuristic count
+                                   # per-device rows
+    pop=None,                      # (cdf, probs) from sampling.make_pop —
+                                   # required when dist == "pop"
 ) -> jnp.ndarray:
     """TF1 `tf.nn.sampled_softmax_loss` semantics, rebuilt:
     S shared negatives per step, −log(S·P) logit correction, accidental-hit
     masking, CE with the true class prepended as class 0."""
     sampled_ids, p = sampled if sampled is not None else draw(
-        rng, num_sampled, vocab, dist)
+        rng, num_sampled, vocab, dist, pop)
 
     v_true, b_true = embed(true_ids)               # [N, D], [N]
     v_samp, b_samp = embed(sampled_ids)            # [S, D], [S]
 
     if use_kernel is None:
-        use_kernel = (query.shape[0] >= _KERNEL_MIN_ROWS
+        per_device = query.shape[0] // (mesh.size if mesh is not None else 1)
+        use_kernel = (per_device >= _KERNEL_MIN_ROWS
                       and remove_accidental_hits
                       and jax.default_backend() == "tpu")
     if use_kernel and remove_accidental_hits:
-        from arec.kernels.sampled_softmax import fused_sampled_ce
+        from arec.kernels.sampled_softmax import (
+            fused_sampled_ce, fused_sampled_ce_sharded)
         c_samp = b_samp - jnp.log(num_sampled * p)
         tl_base = b_true - jnp.log(
-            num_sampled * _p_of(true_ids, vocab, dist))
-        ce = fused_sampled_ce(query, v_true, v_samp, c_samp, tl_base,
-                              true_ids, sampled_ids, 256, compute_dtype)
+            num_sampled * _p_of(true_ids, vocab, dist, pop))
+        if mesh is not None:
+            ce = fused_sampled_ce_sharded(
+                mesh, query, v_true, v_samp, c_samp, tl_base,
+                true_ids, sampled_ids, 256, compute_dtype)
+        else:
+            ce = fused_sampled_ce(query, v_true, v_samp, c_samp, tl_base,
+                                  true_ids, sampled_ids, 256, compute_dtype)
     else:
         true_logit = _rowdot(query, v_true) + b_true
         true_logit = true_logit - jnp.log(
-            num_sampled * _p_of(true_ids, vocab, dist))
+            num_sampled * _p_of(true_ids, vocab, dist, pop))
 
         samp_logits = _matmul(query, v_samp, compute_dtype) + b_samp[None, :]
         samp_logits = samp_logits - jnp.log(num_sampled * p)[None, :]
@@ -124,11 +138,13 @@ def sampled_softmax_loss(
     return jnp.sum(ce * weights) / jnp.maximum(jnp.sum(weights), 1.0)
 
 
-def _p_of(ids, vocab, dist):
+def _p_of(ids, vocab, dist, pop=None):
     """Proposal probability of arbitrary ids under the chosen sampler."""
-    from arec.losses.sampling import log_uniform_prob
+    from arec.losses.sampling import log_uniform_prob, pop_prob
     if dist == "log_uniform":
         return log_uniform_prob(ids, vocab)
+    if dist == "pop":
+        return pop_prob(ids, pop)
     return jnp.full(ids.shape, 1.0 / vocab, jnp.float32)
 
 
@@ -157,12 +173,13 @@ def full_softmax_loss(
 def warp_loss(
     query, true_ids, embed: EmbedBias, rng, num_sampled, vocab,
     dist: str = "uniform", margin: float = 1.0, compute_dtype=jnp.bfloat16,
+    pop=None,
 ) -> jnp.ndarray:
     """WARP with parallel sampled rank estimation: with S uniform negative
     draws and m margin violations, the estimated rank of the positive is
     ≈ (V−1)·m/S; loss = Φ(rank)·mean hinge, Φ(r) = log(1+r) (Weston et al.
     2011, batch approximation as in the reference's warp branch)."""
-    sampled_ids, _ = draw(rng, num_sampled, vocab, dist)
+    sampled_ids, _ = draw(rng, num_sampled, vocab, dist, pop)
     v_true, b_true = embed(true_ids)
     v_samp, b_samp = embed(sampled_ids)
     pos = _rowdot(query, v_true) + b_true                          # [N]
@@ -180,10 +197,10 @@ def warp_loss(
 
 def bpr_loss(
     query, true_ids, embed: EmbedBias, rng, num_sampled, vocab,
-    dist: str = "uniform", compute_dtype=jnp.bfloat16,
+    dist: str = "uniform", compute_dtype=jnp.bfloat16, pop=None,
 ) -> jnp.ndarray:
     """BPR (Rendle 2009): −log σ(pos − neg) over sampled negatives."""
-    sampled_ids, _ = draw(rng, num_sampled, vocab, dist)
+    sampled_ids, _ = draw(rng, num_sampled, vocab, dist, pop)
     v_true, b_true = embed(true_ids)
     v_samp, b_samp = embed(sampled_ids)
     pos = _rowdot(query, v_true) + b_true

@@ -51,9 +51,41 @@ def uniform_sample(
     return ids, jnp.full((num_sampled,), 1.0 / vocab, jnp.float32)
 
 
-def draw(rng, num_sampled, vocab, dist: str):
+def make_pop(item_freq, power: float = 1.0):
+    """Empirical popularity^α proposal (the reference engine's third
+    sampled-id option next to uniform/log-uniform — SURVEY.md §2.1
+    "candidate sampling (uniform / popularity^α)"; TF1 analog:
+    `tf.nn.fixed_unigram_candidate_sampler(distortion=α)`).
+
+    Returns device arrays (cdf [V], probs [V]) consumed by `draw`/`pop_prob`.
+    Zero-count ids are clamped to count 1 so a true id outside the train
+    split keeps a finite −log(S·P) correction."""
+    f = jnp.maximum(jnp.asarray(item_freq, jnp.float32), 1.0) ** power
+    probs = f / jnp.sum(f)
+    return jnp.cumsum(probs), probs
+
+
+def pop_sample(rng, num_sampled, pop):
+    """Inverse-CDF draw from the empirical popularity^α distribution."""
+    cdf, probs = pop
+    u = jax.random.uniform(rng, (num_sampled,))
+    ids = jnp.searchsorted(cdf, u, side="right").astype(jnp.int32)
+    ids = jnp.clip(ids, 0, probs.shape[0] - 1)
+    return ids, probs[ids]
+
+
+def pop_prob(ids, pop):
+    return pop[1][ids]
+
+
+def draw(rng, num_sampled, vocab, dist: str, pop=None):
     if dist == "log_uniform":
         return log_uniform_sample(rng, num_sampled, vocab)
     if dist == "uniform":
         return uniform_sample(rng, num_sampled, vocab)
+    if dist == "pop":
+        if pop is None:
+            raise ValueError(
+                "sampler='pop' needs (cdf, probs) from make_pop(item_freq)")
+        return pop_sample(rng, num_sampled, pop)
     raise ValueError(f"unknown sampler {dist!r}")

@@ -85,6 +85,10 @@ def mf_loss(
     lookup_fns: dict | None = None,   # per-role override: {"user","item"}
     sampled: tuple | None = None,     # pre-drawn (neg_ids, neg_p) — sparse step
     use_kernel: bool | None = None,   # Pallas fused CE; None = size heuristic
+    mesh=None,                        # Mesh when traced under GSPMD — routes
+                                      # the fused CE through its shard_map
+                                      # wrapper (arec/kernels/sampled_softmax)
+    pop=None,                         # (cdf, probs) — sampler="pop" proposal
 ) -> jnp.ndarray:
     """One training step's loss for a (user, positive-item) batch
     (SURVEY.md §3.1: u = fuse(user attrs); loss over sampled candidates)."""
@@ -102,7 +106,7 @@ def mf_loss(
         return sampled_softmax_loss(
             u, pos, embed, r_neg, spec.num_sampled, vocab,
             dist=spec.sampler, compute_dtype=spec.dtype, sampled=sampled,
-            use_kernel=use_kernel)
+            use_kernel=use_kernel, mesh=mesh, pop=pop)
     if spec.loss == "warp":
         return warp_loss(u, pos, embed, r_neg, spec.num_sampled, vocab,
                          compute_dtype=spec.dtype)

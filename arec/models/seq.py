@@ -315,7 +315,8 @@ def seq_loss(params, spec: SeqSpec, item_dev, user_dev, batch,
              lookup_fns: dict | None = None,
              sampled: tuple | None = None,
              states: list | None = None, return_states: bool = False,
-             use_kernel: bool | None = None, time_major: bool = False):
+             use_kernel: bool | None = None, time_major: bool = False,
+             mesh=None, pop=None):
     """Sampled-softmax CE over all valid positions (ref losses ce/mce both
     train every position; SURVEY.md §3.2). With `states`/`return_states`
     the loss runs one TBPTT segment: the caller carries (and stop-gradients)
@@ -374,7 +375,7 @@ def seq_loss(params, spec: SeqSpec, item_dev, user_dev, batch,
     loss = sampled_softmax_loss(
         flat_h, flat_t, embed, r_neg, spec.num_sampled, spec.vocab,
         dist=spec.sampler, weights=flat_w, compute_dtype=spec.dtype,
-        sampled=sampled, use_kernel=use_kernel)
+        sampled=sampled, use_kernel=use_kernel, mesh=mesh, pop=pop)
     if return_states:
         return loss, new_states
     return loss

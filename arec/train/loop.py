@@ -106,6 +106,14 @@ class Trainer:
             self.param_sh = shardings(self.mesh, param_pspecs(params))
             params = jax.device_put(params, self.param_sh)
 
+        # ---- sampler proposal (sampler="pop": empirical popularity^α over
+        # the dataset's train item counts; log_uniform/uniform need no state)
+        if cfg.train.sampler == "pop":
+            from arec.losses.sampling import make_pop
+            self.pop = make_pop(self.ds.item_freq, cfg.train.sampler_power)
+        else:
+            self.pop = None
+
         # ---- optimizer + step ----------------------------------------
         self.opt = make_optimizer(cfg.train.optimizer, cfg.train.learning_rate)
         self.sparse = cfg.train.sparse_update and not self.use_mesh
@@ -122,7 +130,8 @@ class Trainer:
                 cfg.train.optimizer)
             self.step_fn = make_sparse_train_step(
                 self.is_seq, self.spec, self.user_dev, self.item_dev,
-                self.opt, cfg.train.learning_rate, cfg.train.optimizer)
+                self.opt, cfg.train.learning_rate, cfg.train.optimizer,
+                pop=self.pop)
         else:
             self.state = init_state(params, self.opt)
             if self.use_mesh:
@@ -163,23 +172,26 @@ class Trainer:
         spec, item_dev, user_dev, lookup = (
             self.spec, self.item_dev, self.user_dev, self.lookup)
         # the Pallas fused-CE kernel does not partition under GSPMD, so the
-        # mesh path pins the (equally exact) XLA-fused fallback; single
-        # device keeps the size heuristic (arec/losses/losses.py).
-        # time_major likewise: the single-device seq path transposes int32
-        # ids instead of embeddings (no [B,L,D] layout changes); the mesh
-        # path stays batch-major so the flattened position axis preserves
+        # mesh path routes it through an inner shard_map (rows split over
+        # every mesh axis — arec/kernels/sampled_softmax.py); the size
+        # heuristic then counts per-device rows, so it enables exactly when
+        # each chip crosses the measured single-chip crossover.
+        # time_major: the single-device seq path transposes int32 ids
+        # instead of embeddings (no [B,L,D] layout changes); the mesh path
+        # stays batch-major so the flattened position axis preserves
         # data-parallel sharding locality.
-        use_kernel = False if self.use_mesh else None
+        mesh = self.mesh if self.use_mesh else None
         time_major = not self.use_mesh
+        pop = self.pop
         if self.is_seq:
             def loss_fn(p, batch, rng):
                 return seq_mod.seq_loss(p, spec, item_dev, user_dev, batch,
-                                        rng, lookup, use_kernel=use_kernel,
-                                        time_major=time_major)
+                                        rng, lookup, mesh=mesh,
+                                        time_major=time_major, pop=pop)
         else:
             def loss_fn(p, batch, rng):
                 return mf_mod.mf_loss(p, spec, user_dev, item_dev, batch,
-                                      rng, lookup, use_kernel=use_kernel)
+                                      rng, lookup, mesh=mesh, pop=pop)
         return loss_fn
 
     def _state_shardings(self, params):

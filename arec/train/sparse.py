@@ -231,6 +231,7 @@ def make_sparse_train_step(
     rest_opt: optax.GradientTransformation,
     base_lr: float,
     optimizer: str,
+    pop=None,                    # (cdf, probs) — sampler="pop" proposal
 ) -> Callable:
     """Returns jitted step(state, batch, rng) -> (state, metrics), parity-
     equal to arec.train.step.make_train_step but with O(touched·D) table
@@ -252,7 +253,8 @@ def make_sparse_train_step(
         # splits rng into (r_drop, r_neg) itself; passing `sampled` makes
         # its own r_neg draw unused, so negatives match the dense step)
         _, r_neg = jax.random.split(rng)
-        sampled = draw(r_neg, spec.num_sampled, vocab, spec.sampler)
+        sampled = draw(r_neg, spec.num_sampled, vocab, spec.sampler,
+                       pop)
 
         # 2. touched rows per table (static shapes; sentinel-padded unique)
         specs = collect(spec, user_dev, item_dev, batch, sampled[0])
@@ -287,9 +289,11 @@ def make_sparse_train_step(
                 # sharding-locality caveat of the mesh path doesn't apply
                 return seq_mod.seq_loss(p, spec, item_dev, user_dev, batch,
                                         rng, lookup_fns=lookup_fns,
-                                        sampled=sampled, time_major=True)
+                                        sampled=sampled, time_major=True,
+                                        pop=pop)
             return mf_mod.mf_loss(p, spec, user_dev, item_dev, batch, rng,
-                                  lookup_fns=lookup_fns, sampled=sampled)
+                                  lookup_fns=lookup_fns, sampled=sampled,
+                                  pop=pop)
 
         loss, (g_subs, g_rest) = jax.value_and_grad(
             loss_f, argnums=(0, 1))(subs, rest)

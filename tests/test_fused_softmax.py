@@ -86,3 +86,34 @@ def test_fused_pads_non_multiple_rows():
     ref = _loss(q2, table, bias_v, t2, rng, False)
     got = _loss(q2, table, bias_v, t2, rng, True)
     np.testing.assert_allclose(float(got), float(ref), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2), (8, 1), (1, 8)],
+                         ids=lambda s: f"{s[0]}x{s[1]}")
+def test_fused_under_mesh_matches_pure(shape):
+    """The shard_map kernel wrapper (rows split over every mesh axis,
+    sampled side replicated): loss and ALL grads — including the psum'd
+    cotangents of the replicated v_samp/c_samp — must match the pure-JAX
+    path. Also exercises row padding: N=48 is not a multiple of 8·256."""
+    from arec.dist.mesh import make_mesh
+    mesh = make_mesh(*shape)
+    q, true_ids, table, bias_v, rng = _setup(11)
+
+    def loss(q, table, bias_v, use_kernel, mesh=None):
+        return sampled_softmax_loss(
+            q, true_ids, embed=lambda ids: (table[ids], bias_v[ids]),
+            rng=rng, num_sampled=S, vocab=V, compute_dtype=jnp.float32,
+            use_kernel=use_kernel, mesh=mesh)
+
+    ref_l = loss(q, table, bias_v, False)
+    got_l = jax.jit(lambda *a: loss(*a, True, mesh))(q, table, bias_v)
+    np.testing.assert_allclose(float(got_l), float(ref_l),
+                               rtol=1e-5, atol=1e-6)
+
+    g_ref = jax.grad(lambda *a: loss(*a, False), argnums=(0, 1, 2))(
+        q, table, bias_v)
+    g_got = jax.jit(jax.grad(lambda *a: loss(*a, True, mesh),
+                             argnums=(0, 1, 2)))(q, table, bias_v)
+    for a, b in zip(g_got, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)

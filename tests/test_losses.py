@@ -10,7 +10,9 @@ from arec.losses.losses import (
     batch_bpr_loss, batch_mw_loss, bpr_loss, full_softmax_loss,
     sampled_softmax_loss, warp_loss,
 )
-from arec.losses.sampling import log_uniform_prob, log_uniform_sample
+from arec.losses.sampling import (
+    log_uniform_prob, log_uniform_sample, make_pop, pop_sample,
+)
 
 V, D, B = 60, 16, 32
 
@@ -33,6 +35,41 @@ def test_log_uniform_sampler_matches_analytic_distribution():
     np.testing.assert_allclose(p, want[np.asarray(ids)], rtol=1e-5)
     np.testing.assert_allclose(counts, want, atol=3e-3)
     assert counts[0] > counts[V - 1] * 5  # strongly head-weighted
+
+
+def test_pop_sampler_matches_empirical_distribution():
+    """sampler='pop': draws follow count^α over the dataset's item counts
+    (frequency-sorted, like the real prep emits), zero counts clamped to 1
+    so true-id corrections stay finite."""
+    counts = np.sort(np.random.default_rng(3).zipf(1.5, V))[::-1].copy()
+    counts[-3:] = 0   # truncated-vocab tail: never sampled ≠ minus-inf
+    pop = make_pop(counts, power=0.75)
+    want = np.maximum(counts, 1.0) ** 0.75
+    want = want / want.sum()
+    np.testing.assert_allclose(np.asarray(pop[1]), want, rtol=1e-5)
+    ids, p = pop_sample(jax.random.key(0), 200_000, pop)
+    freq = np.bincount(np.asarray(ids), minlength=V) / 200_000
+    np.testing.assert_allclose(p, want[np.asarray(ids)], rtol=1e-5)
+    np.testing.assert_allclose(freq, want, atol=3e-3)
+
+
+def test_pop_sampled_softmax_converges_to_full_softmax(setup):
+    """Estimator consistency holds under the popularity^α proposal too —
+    guards the pop branch of the −log(S·P) correction in _p_of."""
+    q, true_ids, embed, table, bias_arr = setup
+    counts = np.arange(V, 0, -1) ** 2   # any decreasing positive counts
+    pop = make_pop(counts, power=1.0)
+    full = full_softmax_loss(q, true_ids, table, bias_arr,
+                             compute_dtype=jnp.float32)
+    probs = np.asarray(pop[1])
+    est = np.mean([
+        float(sampled_softmax_loss(
+            q, true_ids, embed, jax.random.key(s), 8192, V,
+            dist="pop", remove_accidental_hits=False,
+            compute_dtype=jnp.float32, pop=pop))
+        for s in range(8)
+    ]) - float(np.mean(np.log(8192 * probs[np.asarray(true_ids)])))
+    assert abs(est - float(full)) < 0.1, (est, float(full))
 
 
 def _offset(true_ids, num_sampled, dist):

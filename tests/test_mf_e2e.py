@@ -149,3 +149,23 @@ def test_mf_losses_all_run_one_step():
         assert np.isfinite(float(val)), loss
         assert all(np.isfinite(np.asarray(g)).all()
                    for g in jax.tree_util.tree_leaves(grads)), loss
+
+
+def test_pop_sampler_trains_through_trainer():
+    """sampler='pop' end to end: the Trainer builds the popularity^α
+    proposal from ds.item_freq and one epoch runs with finite loss."""
+    from arec.train.loop import Trainer
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        cfg = Config(
+            data=DataConfig(syn_users=100, syn_items=80,
+                            syn_interactions=2000, data_dir=f"{d}/data"),
+            train=TrainConfig(batch_size=32, num_sampled=32, n_epoch=1,
+                              sampler="pop", sampler_power=0.75,
+                              steps_per_checkpoint=1000,
+                              compute_dtype="float32", train_dir=f"{d}/t"),
+        )
+        tr = Trainer(cfg)
+        assert tr.pop is not None and tr.pop[1].shape[0] == tr.ds.num_items
+        summary = tr.train()
+        assert np.isfinite(summary["recall_at_k"]) and summary["steps"] > 0
