@@ -16,8 +16,15 @@ kernel streams N-tiles through VMEM — the logits never leave the chip:
       db_samp += Σ_i w·p_i        db_true = w·(p_true−1)
     where w is the incoming per-row cotangent.
 
-The pure-JAX path remains the permanent differential-testing oracle
-(tests/test_fused_softmax.py) and the fallback for odd shapes.
+The pure-JAX path (arec/losses/losses.py, use_kernel=False) remains the
+permanent differential-testing oracle (tests/test_fused_softmax.py) and the
+fallback for small row counts / non-TPU backends.
+
+The public entry is SUMS-level — fused_sampled_ce_sums returns
+(Σ w·ce, Σ w) with the reduction inside the kernel; see the section comment
+below for the measured layout rationale (an earlier per-row variant
+streamed four [N,1] columns per direction; each such column costs 128× its
+logical bytes under TPU T(8,128) tiling).
 """
 
 from __future__ import annotations
@@ -43,68 +50,86 @@ def _pad_rows(x, mult):
 
 
 # ---------------------------------------------------------------------------
-# Forward
+# Sums-level kernel: the reduction lives INSIDE the kernel
 # ---------------------------------------------------------------------------
+#
+# The per-row `fused_sampled_ce` above streams four padded per-row columns
+# per direction ([N,1] under T(8,128) tiling pads the lane dim 1 → 128, so
+# each column costs 128× its logical bytes in HBM traffic — measured 12–50 µs
+# per stream at N=32768) plus an externally materialized [N,1] cotangent.
+# Training only ever consumes the (weighted) MEAN of the per-row CE, so this
+# variant returns (Σ w·ce, Σ w) accumulated across the grid instead:
+#   * per-row inputs ride ONE lane-packed [N,3] array (tl, tid-bits, w) —
+#     sublane-oriented, so no in-kernel lane→sublane relayout (an explicit
+#     A/B of lane-major [g,1,nt] packing made the forward 2.7× SLOWER:
+#     Mosaic's relayout shuffles cost more than the padded DMA they save);
+#   * per-row residuals ride ONE [N,2] array (ce, lse);
+#   * the backward takes a SCALAR cotangent (no [N,1] broadcast at all) and
+#     derives per-row weights from the packed w lane.
+# The division num/max(den,1) happens OUTSIDE in jnp, so autodiff applies
+# the quotient rule and weighted-mean gradients (incl. d/dweights) are exact.
 
-def _fwd_kernel(q_ref, vt_ref, vs_ref, cs_ref, tl_ref, tid_ref, sid_ref,
-                ce_ref, lse_ref, *, dtype):
-    # per-row vectors are [NT, 1], replicated vectors [1, S] (Mosaic wants
-    # >=2-D layouts matching XLA's lane tiling)
+
+def _pick_lane_bits(r, k):
+    """Lane k of a packed float block, extracted in the INTEGER domain.
+
+    A direct lane slice `r_ref[:, k]` with k > 0 trips Mosaic's
+    "Not implemented: Offset change" on real TPU (interpret mode accepts
+    it), so extract by masked lane-reduction. The reduction must run on
+    the BIT PATTERNS: float adds flush subnormals (ids < 2^23 bitcast to
+    subnormal f32, and TPU/XLA-CPU FTZ zeroes them — observed as corrupted
+    ids), while integer adds are exact for any pattern.
+    """
+    ri = jax.lax.bitcast_convert_type(r, jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, r.shape, 1)
+    return jnp.sum(jnp.where(lane == k, ri, 0), axis=1, keepdims=True)
+
+
+def _unpack_lanes(r):
+    """(tl, tid, w) as [NT, 1] COLUMNS from a packed [NT, 3] block.
+
+    Everything stays 2-D: Mosaic rejects relayouts of the 1-D
+    (lane-replicated) intermediates a squeezing reduction produces
+    ("Invalid relayout: Non-singleton logical dimension is replicated").
+    """
+    f = lambda k: jax.lax.bitcast_convert_type(_pick_lane_bits(r, k),
+                                               jnp.float32)
+    return f(0), _pick_lane_bits(r, 1), f(2)
+
+
+def _sums_fwd_kernel(q_ref, vt_ref, vs_ref, cs_ref, rin_ref, sid_ref,
+                     rout_ref, sums_ref, *, dtype):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        sums_ref[:] = jnp.zeros_like(sums_ref)
+
     q = q_ref[:]
     logits = jax.lax.dot_general(
         q.astype(dtype), vs_ref[:].astype(dtype),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) + cs_ref[:]          # [NT, S]
-    hit = tid_ref[:] == sid_ref[:]                               # [NT, S]
+    tl0, tid, w = _unpack_lanes(rin_ref[:])            # [NT, 1] columns
+    hit = tid == sid_ref[:]                            # [NT, S]
     logits = jnp.where(hit, NEG, logits)
 
-    # true logit: fused row-dot + bias/correction precomputed outside
-    tl = tl_ref[:][:, 0] + jnp.sum(
-        q.astype(jnp.float32) * vt_ref[:].astype(jnp.float32), axis=1)
-
-    m = jnp.maximum(jnp.max(logits, axis=1), tl)
+    tl = tl0 + jnp.sum(
+        q.astype(jnp.float32) * vt_ref[:].astype(jnp.float32), axis=1,
+        keepdims=True)                                 # [NT, 1]
+    m = jnp.maximum(jnp.max(logits, axis=1, keepdims=True), tl)
     lse = m + jnp.log(jnp.exp(tl - m)
-                      + jnp.sum(jnp.exp(logits - m[:, None]), axis=1))
-    ce_ref[:] = (lse - tl)[:, None]
-    lse_ref[:] = lse[:, None]
+                      + jnp.sum(jnp.exp(logits - m), axis=1, keepdims=True))
+    ce = lse - tl                                      # [NT, 1]
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (ce.shape[0], 2), 1)
+    rout_ref[:] = jnp.where(lane2 == 0, ce, lse)
+    lane12 = jax.lax.broadcasted_iota(jnp.int32, (1, 2), 1)
+    sums_ref[:] += jnp.where(lane12 == 0,
+                             jnp.sum(ce * w, axis=0, keepdims=True),
+                             jnp.sum(w, axis=0, keepdims=True))
 
 
-def _forward(q, v_true, v_samp, c_samp, tl_base, true_ids, sampled_ids,
-             *, nt, dtype):
-    n = q.shape[0]
-    s = v_samp.shape[0]
-    np_ = -(-n // nt) * nt
-    q_p, vt_p = _pad_rows(q, nt), _pad_rows(v_true, nt)
-    tl_p = _pad_rows(tl_base, nt)[:, None]
-    tid_p = _pad_rows(true_ids, nt)[:, None]
-    grid = (np_ // nt,)
-    row = lambda w: pl.BlockSpec((nt, w), lambda i: (i, 0),
-                                 memory_space=pltpu.VMEM)
-    rep = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
-                                      memory_space=pltpu.VMEM)
-    col = pl.BlockSpec((nt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    ce, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, dtype=dtype),
-        grid=grid,
-        in_specs=[row(q.shape[1]), row(q.shape[1]),
-                  rep(s, q.shape[1]), rep(1, s),
-                  col, col, rep(1, s)],
-        out_specs=[col, col],
-        out_shape=[jax.ShapeDtypeStruct((np_, 1), jnp.float32),
-                   jax.ShapeDtypeStruct((np_, 1), jnp.float32)],
-        interpret=_interpret(),
-    )(q_p, vt_p, v_samp, c_samp[None, :], tl_p, tid_p,
-      sampled_ids[None, :])
-    return ce[:n, 0], lse[:n, 0]
-
-
-# ---------------------------------------------------------------------------
-# Backward
-# ---------------------------------------------------------------------------
-
-def _bwd_kernel(q_ref, vt_ref, vs_ref, cs_ref, tl_ref, tid_ref, sid_ref,
-                lse_ref, g_ref,
-                dq_ref, dvt_ref, dvs_ref, dbs_ref, dbt_ref, *, dtype):
+def _sums_bwd_kernel(q_ref, vt_ref, vs_ref, cs_ref, rin_ref, sid_ref,
+                     rout_ref, scale_ref,
+                     dq_ref, dvt_ref, dvs_ref, dbs_ref, dbt_ref, *, dtype):
     @pl.when(pl.program_id(0) == 0)
     def _():
         dvs_ref[:] = jnp.zeros_like(dvs_ref)
@@ -116,41 +141,76 @@ def _bwd_kernel(q_ref, vt_ref, vs_ref, cs_ref, tl_ref, tid_ref, sid_ref,
         q.astype(dtype), vs.astype(dtype),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) + cs_ref[:]
-    hit = tid_ref[:] == sid_ref[:]
+    tl0, tid, w = _unpack_lanes(rin_ref[:])            # [NT, 1] columns
+    hit = tid == sid_ref[:]
     logits = jnp.where(hit, NEG, logits)
-    tl = tl_ref[:][:, 0] + jnp.sum(
-        q.astype(jnp.float32) * vt_ref[:].astype(jnp.float32), axis=1)
+    tl = tl0 + jnp.sum(
+        q.astype(jnp.float32) * vt_ref[:].astype(jnp.float32), axis=1,
+        keepdims=True)                                 # [NT, 1]
 
-    lse = lse_ref[:][:, 0]
-    g = g_ref[:][:, 0]
-    p = jnp.exp(logits - lse[:, None])              # [NT, S]
-    pt = jnp.exp(tl - lse)                          # [NT]
-    wp = g[:, None] * p                             # [NT, S]
-    wt = g * (pt - 1.0)                             # [NT]
+    lse = jax.lax.bitcast_convert_type(
+        _pick_lane_bits(rout_ref[:], 1), jnp.float32)  # [NT, 1]
+    g = scale_ref[0, 0] * w                            # [NT, 1]
+    p = jnp.exp(logits - lse)                          # [NT, S]
+    pt = jnp.exp(tl - lse)                             # [NT, 1]
+    wp = g * p                                         # [NT, S]
+    wt = g * (pt - 1.0)                                # [NT, 1]
 
-    dq_ref[:] = (wt[:, None] * vt_ref[:].astype(jnp.float32)
+    dq_ref[:] = (wt * vt_ref[:].astype(jnp.float32)
                  + jax.lax.dot_general(
                      wp.astype(dtype), vs.astype(dtype),
                      dimension_numbers=(((1,), (0,)), ((), ())),
                      preferred_element_type=jnp.float32))
-    dvt_ref[:] = wt[:, None] * q.astype(jnp.float32)
+    dvt_ref[:] = wt * q.astype(jnp.float32)
     dvs_ref[:] += jax.lax.dot_general(
         wp.astype(dtype), q.astype(dtype),
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    dbs_ref[:] += jnp.sum(wp, axis=0)[None, :]
-    dbt_ref[:] = wt[:, None]
+    dbs_ref[:] += jnp.sum(wp, axis=0, keepdims=True)
+    dbt_ref[:] = wt
 
 
-def _backward(q, v_true, v_samp, c_samp, tl_base, true_ids, sampled_ids,
-              lse, g, *, nt, dtype):
+def _pack_rin(tl_base, true_ids, weights, n, nt):
+    """Lane-packed per-row inputs [np_, 3]: (tl, tid bits, weight)."""
+    w = jnp.ones((n,), jnp.float32) if weights is None else (
+        weights.astype(jnp.float32))
+    rin = jnp.concatenate([
+        tl_base.astype(jnp.float32)[:, None],
+        jax.lax.bitcast_convert_type(true_ids.astype(jnp.int32),
+                                     jnp.float32)[:, None],
+        w[:, None],
+    ], axis=1)
+    return _pad_rows(rin, nt)            # pad rows carry w = 0
+
+
+def _sums_forward(q, v_true, v_samp, c_samp, rin, sampled_ids, *, nt, dtype):
     n = q.shape[0]
-    np_ = -(-n // nt) * nt
+    s = v_samp.shape[0]
+    np_ = rin.shape[0]
     q_p, vt_p = _pad_rows(q, nt), _pad_rows(v_true, nt)
-    tl_p = _pad_rows(tl_base, nt)[:, None]
-    tid_p = _pad_rows(true_ids, nt)[:, None]
-    lse_p = _pad_rows(lse, nt)[:, None]
-    g_p = _pad_rows(g, nt)[:, None]  # pad rows carry zero cotangent
+    grid = (np_ // nt,)
+    row = lambda w: pl.BlockSpec((nt, w), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+    rep = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    rout, sums = pl.pallas_call(
+        functools.partial(_sums_fwd_kernel, dtype=dtype),
+        grid=grid,
+        in_specs=[row(q.shape[1]), row(q.shape[1]),
+                  rep(s, q.shape[1]), rep(1, s), row(3), rep(1, s)],
+        out_specs=[row(2), rep(1, 2)],
+        out_shape=[jax.ShapeDtypeStruct((np_, 2), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 2), jnp.float32)],
+        interpret=_interpret(),
+    )(q_p, vt_p, v_samp, c_samp[None, :], rin, sampled_ids[None, :])
+    return sums[0, 0], sums[0, 1], rout
+
+
+def _sums_backward(q, v_true, v_samp, c_samp, rin, sampled_ids, rout,
+                   g_num, *, nt, dtype):
+    n = q.shape[0]
+    np_ = rin.shape[0]
+    q_p, vt_p = _pad_rows(q, nt), _pad_rows(v_true, nt)
     grid = (np_ // nt,)
     d = q.shape[1]
     s = v_samp.shape[0]
@@ -159,11 +219,14 @@ def _backward(q, v_true, v_samp, c_samp, tl_base, true_ids, sampled_ids,
     rep = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
     col = pl.BlockSpec((nt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    scale = jnp.reshape(g_num.astype(jnp.float32), (1, 1))
     dq, dvt, dvs, dbs, dbt = pl.pallas_call(
-        functools.partial(_bwd_kernel, dtype=dtype),
+        functools.partial(_sums_bwd_kernel, dtype=dtype),
         grid=grid,
-        in_specs=[row(d), row(d), rep(s, d), rep(1, s), col, col, rep(1, s),
-                  col, col],
+        in_specs=[row(d), row(d), rep(s, d), rep(1, s), row(3), rep(1, s),
+                  row(2),
+                  pl.BlockSpec((1, 1), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM)],
         out_specs=[row(d), row(d), rep(s, d), rep(1, s), col],
         out_shape=[jax.ShapeDtypeStruct((np_, d), jnp.float32),
                    jax.ShapeDtypeStruct((np_, d), jnp.float32),
@@ -171,88 +234,83 @@ def _backward(q, v_true, v_samp, c_samp, tl_base, true_ids, sampled_ids,
                    jax.ShapeDtypeStruct((1, s), jnp.float32),
                    jax.ShapeDtypeStruct((np_, 1), jnp.float32)],
         interpret=_interpret(),
-    )(q_p, vt_p, v_samp, c_samp[None, :], tl_p, tid_p,
-      sampled_ids[None, :], lse_p, g_p)
+    )(q_p, vt_p, v_samp, c_samp[None, :], rin, sampled_ids[None, :], rout,
+      scale)
     return dq[:n], dvt[:n], dvs, dbs[0], dbt[:n, 0]
 
 
-# ---------------------------------------------------------------------------
-# custom-VJP entry
-# ---------------------------------------------------------------------------
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def fused_sampled_ce_sums(q, v_true, v_samp, c_samp, tl_base, true_ids,
+                          sampled_ids, weights=None, nt=256,
+                          dtype=jnp.bfloat16):
+    """(Σ wᵢ·ceᵢ, Σ wᵢ) of the sampled-softmax CE — the training entry.
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
-def fused_sampled_ce(q, v_true, v_samp, c_samp, tl_base, true_ids,
-                     sampled_ids, nt=256, dtype=jnp.bfloat16):
-    """Per-row sampled-softmax CE [N].
-
-    q [N, D] queries; v_true [N, D] positive embeddings; v_samp [S, D]
-    shared negatives; c_samp [S] = bias_samp − log(S·P_samp);
-    tl_base [N] = bias_true − log(S·P_true); ids for accidental-hit masking.
-    Differentiable in q, v_true, v_samp, c_samp, tl_base (the bias/
-    correction chain rules flow through c_samp/tl_base linearly).
+    Same math as `fused_sampled_ce` (tests assert parity) but the reduction
+    happens inside the kernel; the caller divides. weights=None means
+    w ≡ 1. Differentiable in q, v_true, v_samp, c_samp, tl_base, weights.
     """
-    ce, _ = _forward(q, v_true, v_samp, c_samp, tl_base, true_ids,
-                     sampled_ids, nt=nt, dtype=dtype)
-    return ce
+    rin = _pack_rin(tl_base, true_ids, weights, q.shape[0], nt)
+    num, den, _ = _sums_forward(q, v_true, v_samp, c_samp, rin, sampled_ids,
+                                nt=nt, dtype=dtype)
+    return num, den
 
 
-def _vjp_fwd(q, v_true, v_samp, c_samp, tl_base, true_ids, sampled_ids,
-             nt, dtype):
-    ce, lse = _forward(q, v_true, v_samp, c_samp, tl_base, true_ids,
-                       sampled_ids, nt=nt, dtype=dtype)
-    return ce, (q, v_true, v_samp, c_samp, tl_base, true_ids, sampled_ids,
-                lse)
+def _sums_vjp_fwd(q, v_true, v_samp, c_samp, tl_base, true_ids, sampled_ids,
+                  weights, nt, dtype):
+    rin = _pack_rin(tl_base, true_ids, weights, q.shape[0], nt)
+    num, den, rout = _sums_forward(q, v_true, v_samp, c_samp, rin,
+                                   sampled_ids, nt=nt, dtype=dtype)
+    return (num, den), (q, v_true, v_samp, c_samp, rin, sampled_ids, rout,
+                        weights)
 
 
-def _vjp_bwd(nt, dtype, res, g):
-    (q, v_true, v_samp, c_samp, tl_base, true_ids, sampled_ids, lse) = res
-    dq, dvt, dvs, dbs, dbt = _backward(
-        q, v_true, v_samp, c_samp, tl_base, true_ids, sampled_ids, lse, g,
+def _sums_vjp_bwd(nt, dtype, res, g):
+    q, v_true, v_samp, c_samp, rin, sampled_ids, rout, weights = res
+    g_num, g_den = g
+    dq, dvt, dvs, dbs, dbt = _sums_backward(
+        q, v_true, v_samp, c_samp, rin, sampled_ids, rout, g_num,
         nt=nt, dtype=dtype)
-    # d(c_samp) = dbs (logits linear in c_samp); d(tl_base) = dbt
-    return dq, dvt, dvs, dbs, dbt, None, None
+    n = q.shape[0]
+    # num = Σ w·ce, den = Σ w  →  d/dwᵢ = g_num·ceᵢ + g_den (DCE'd when the
+    # caller doesn't differentiate w.r.t. weights, i.e. always in training)
+    dw = None if weights is None else g_num * rout[:n, 0] + g_den
+    return dq, dvt, dvs, dbs, dbt, None, None, dw
 
 
-fused_sampled_ce.defvjp(_vjp_fwd, _vjp_bwd)
+fused_sampled_ce_sums.defvjp(_sums_vjp_fwd, _sums_vjp_bwd)
 
 
-# ---------------------------------------------------------------------------
-# Mesh wrapper
-# ---------------------------------------------------------------------------
-
-def fused_sampled_ce_sharded(mesh, q, v_true, v_samp, c_samp, tl_base,
-                             true_ids, sampled_ids, nt=256,
-                             dtype=jnp.bfloat16):
-    """`fused_sampled_ce` on a device mesh, via an inner `shard_map`.
-
-    Pallas custom-calls do not partition under GSPMD, but they run fine
-    per-device under manual sharding: rows (queries/positives) are split
-    over EVERY mesh axis — matching the row layout the sharded lookup
-    already emits (arec/tables/sharded.py out_spec) — and the shared
-    sampled side is replicated. `check_vma=False` because `pallas_call`
-    carries no varying-axes rule in jax 0.9; the shard_map transpose still
-    psums the replicated-input cotangents (dv_samp/dc_samp) over the mesh,
-    which tests/test_fused_softmax.py verifies against the pure-JAX path
-    on (2,4)/(4,2)/(8,1)/(1,8) fake-device meshes (values + all grads).
-    """
+def fused_sampled_ce_sums_sharded(mesh, q, v_true, v_samp, c_samp, tl_base,
+                                  true_ids, sampled_ids, weights=None,
+                                  nt=256, dtype=jnp.bfloat16):
+    """`fused_sampled_ce_sums` on a device mesh: per-shard kernel sums,
+    psum'd inside the shard_map (see fused_sampled_ce_sharded for why the
+    kernel must run under manual sharding). Returns GLOBAL (num, den)."""
     from jax.sharding import PartitionSpec as P
     rows = P(tuple(mesh.axis_names))
     rep = P()
     n = q.shape[0]
+    w = jnp.ones((n,), jnp.float32) if weights is None else (
+        weights.astype(jnp.float32))
     n_pad = -(-n // mesh.size) * mesh.size
     if n_pad != n:
         pad = n_pad - n
         q = jnp.pad(q, ((0, pad), (0, 0)))
         v_true = jnp.pad(v_true, ((0, pad), (0, 0)))
         tl_base = jnp.pad(tl_base, (0, pad))
-        # pad target id -1 never equals a sampled id → no phantom hits; the
-        # pad rows are sliced off below, so zero cotangent reaches them
         true_ids = jnp.pad(true_ids, (0, pad), constant_values=-1)
-    ce = jax.shard_map(
-        lambda *a: fused_sampled_ce(*a, nt, dtype),
-        mesh=mesh,
-        in_specs=(rows, rows, rep, rep, rows, rows, rep),
-        out_specs=rows,
+        w = jnp.pad(w, (0, pad))                 # pad rows weigh 0
+
+    def body(q, vt, vs, cs, tl, tid, sid, w):
+        num, den = fused_sampled_ce_sums(q, vt, vs, cs, tl, tid, sid, w,
+                                         nt, dtype)
+        ax = tuple(mesh.axis_names)
+        return jax.lax.psum(num, ax), jax.lax.psum(den, ax)
+
+    num, den = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(rows, rows, rep, rep, rows, rows, rep, rows),
+        out_specs=(rep, rep),
         check_vma=False,
-    )(q, v_true, v_samp, c_samp, tl_base, true_ids, sampled_ids)
-    return ce[:n]
+    )(q, v_true, v_samp, c_samp, tl_base, true_ids, sampled_ids, w)
+    return num, den

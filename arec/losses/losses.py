@@ -108,17 +108,25 @@ def sampled_softmax_loss(
                       and jax.default_backend() == "tpu")
     if use_kernel and remove_accidental_hits:
         from arec.kernels.sampled_softmax import (
-            fused_sampled_ce, fused_sampled_ce_sharded)
+            fused_sampled_ce_sums, fused_sampled_ce_sums_sharded)
         c_samp = b_samp - jnp.log(num_sampled * p)
         tl_base = b_true - jnp.log(
             num_sampled * _p_of(true_ids, vocab, dist, pop))
+        # sums-level kernel: the (weighted-)mean reduction happens inside
+        # the kernel, so no [N,1] per-row cotangent / CE columns ever
+        # materialize in HBM (each costs 128× its logical bytes under TPU
+        # tiling — see arec/kernels/sampled_softmax.py)
         if mesh is not None:
-            ce = fused_sampled_ce_sharded(
+            num, den = fused_sampled_ce_sums_sharded(
                 mesh, query, v_true, v_samp, c_samp, tl_base,
-                true_ids, sampled_ids, 256, compute_dtype)
+                true_ids, sampled_ids, weights, 256, compute_dtype)
         else:
-            ce = fused_sampled_ce(query, v_true, v_samp, c_samp, tl_base,
-                                  true_ids, sampled_ids, 256, compute_dtype)
+            num, den = fused_sampled_ce_sums(
+                query, v_true, v_samp, c_samp, tl_base,
+                true_ids, sampled_ids, weights, 256, compute_dtype)
+        if weights is None:
+            return num / query.shape[0]
+        return num / jnp.maximum(den, 1.0)
     else:
         true_logit = _rowdot(query, v_true) + b_true
         true_logit = true_logit - jnp.log(

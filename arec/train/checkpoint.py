@@ -167,8 +167,18 @@ class Checkpointer:
 
 
 def abstract_like(state: TrainState, shardings=None) -> TrainState:
-    """ShapeDtypeStruct pytree for resharded restore."""
+    """ShapeDtypeStruct pytree for resharded restore.
+
+    Leaves always carry a CONCRETE sharding: with sharding=None orbax falls
+    back to the sharding file saved WITH the checkpoint, which names the
+    saving job's devices — restoring a TPU-written checkpoint in a CPU
+    process (or any different topology) then fails with "sharding ...
+    Got None". Defaulting to the local device makes restore
+    platform-portable (the trainer re-lays-out afterwards as needed)."""
+    dev = jax.local_devices()[0]
     def mk(x, s=None):
+        if s is None:
+            s = jax.sharding.SingleDeviceSharding(dev)
         return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s)
     if shardings is None:
         return jax.tree_util.tree_map(mk, state)

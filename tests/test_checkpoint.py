@@ -160,3 +160,21 @@ def test_resume_is_exact(tmp_path):
                       jax.tree_util.tree_leaves(t_b.state.params)):
         np.testing.assert_allclose(np.asarray(pf), np.asarray(pr),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_abstract_like_always_has_concrete_sharding():
+    """With sharding=None leaves, orbax falls back to the sharding FILE in
+    the checkpoint, which names the saving job's devices — restoring a
+    TPU-written checkpoint in a CPU process then fails. abstract_like must
+    therefore default every leaf to a concrete local sharding."""
+    import jax
+
+    from arec.train.checkpoint import abstract_like
+    from arec.train.step import init_state, make_optimizer
+
+    opt = make_optimizer("adagrad", 0.1)
+    state = init_state({"t": jnp.zeros((4, 3))}, opt)
+    abstract = abstract_like(state)
+    for leaf in jax.tree_util.tree_leaves(
+            abstract, is_leaf=lambda x: hasattr(x, "sharding")):
+        assert getattr(leaf, "sharding", None) is not None
