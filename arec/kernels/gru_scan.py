@@ -35,8 +35,8 @@ from arec.kernels.lstm_scan import _interpret, _pad_axis, _pick_tiles
 # Forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(xw_ref, wh_ref, mask_ref, h0_ref, h_out_ref, h_scr,
-                *, LT, H, dtype):
+def _fwd_kernel(xw_ref, wh_ref, mask_ref, h0_ref, h_out_ref, hp_out_ref,
+                h_scr, *, LT, H, dtype):
     @pl.when(pl.program_id(1) == 0)
     def _():
         h_scr[:] = h0_ref[:]
@@ -45,6 +45,10 @@ def _fwd_kernel(xw_ref, wh_ref, mask_ref, h0_ref, h_out_ref, h_scr,
 
     def step(tt, _):
         h = h_scr[:]
+        # pre-update state = h_{t-1}: shift-by-one residual for the
+        # backward sweep (replaces the external concat([h0, h_all[:-1]])
+        # slice+pad copies; see lstm_scan._fwd_kernel)
+        hp_out_ref[pl.ds(tt, 1)] = h[None]
         xw_t = xw_ref[pl.ds(tt, 1)][0]                      # [BT, 3H]
         hw = jax.lax.dot_general(
             h.astype(dtype), wh[:, : 2 * H],
@@ -82,7 +86,7 @@ def _forward(xw_tm, wh, mask_bm, h0, *, dtype):
                                     memory_space=pltpu.VMEM)
     bblock = pl.BlockSpec((BT, H), lambda i, j: (i, 0),
                           memory_space=pltpu.VMEM)
-    h_all = pl.pallas_call(
+    h_all, hp_all = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -92,8 +96,9 @@ def _forward(xw_tm, wh, mask_bm, h0, *, dtype):
             tblock(H),
             bblock,
         ],
-        out_specs=[tblock(H)],
-        out_shape=[jax.ShapeDtypeStruct((Lp, Bp, H), jnp.float32)],
+        out_specs=[tblock(H), tblock(H)],
+        out_shape=[jax.ShapeDtypeStruct((Lp, Bp, H), jnp.float32),
+                   jax.ShapeDtypeStruct((Lp, Bp, H), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((BT, H), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * Lp * Bp * H * 3 * H + 12 * Lp * Bp * H,
@@ -101,8 +106,8 @@ def _forward(xw_tm, wh, mask_bm, h0, *, dtype):
             transcendentals=3 * Lp * Bp * H,
         ),
         interpret=_interpret(),
-    )(xw_tm, wh, mask_e, h0)[0]
-    return h_all[:L, :B]
+    )(xw_tm, wh, mask_e, h0)
+    return h_all[:L, :B], hp_all[:L, :B]
 
 
 # ---------------------------------------------------------------------------
@@ -186,7 +191,7 @@ def _bwd_kernel(xw_ref, wh_ref, mask_ref, hp_ref, dh_out_ref,
     dh0_ref[:] = dh_scr[:]
 
 
-def _backward(xw_tm, wh, mask_bm, h0, h_all, dh_out, *, dtype):
+def _backward(xw_tm, wh, mask_bm, h_prev, dh_out, *, dtype):
     L, B, H3 = xw_tm.shape
     H = H3 // 3
     BT, LT = _pick_tiles(B, L, H)
@@ -195,7 +200,8 @@ def _backward(xw_tm, wh, mask_bm, h0, h_all, dh_out, *, dtype):
     Lp, Bp = xw_tm.shape[:2]
     mask_bm = _pad_axis(_pad_axis(mask_bm, BT, 0), LT, 1)
     mask_e = jnp.broadcast_to(mask_bm.T[:, :, None], (Lp, Bp, H))
-    h_prev = pad2(jnp.concatenate([h0[None], h_all[:-1]], axis=0))
+    # shift-by-one residuals come straight from the forward kernel
+    h_prev = pad2(h_prev)
     dh_out = pad2(dh_out)
 
     grid = (Bp // BT, Lp // LT)
@@ -246,17 +252,17 @@ def gru_layer_pallas(xw_tm, wh, mask_bm, h0, dtype=jnp.bfloat16):
     """One recurrent layer → h_all [L, B, H]; the final state is h_all[-1].
     h0 [B, H] is the carried-in state; gradients flow through it, so a
     segmented scan matches the unsegmented one exactly (SURVEY.md §5)."""
-    return _forward(xw_tm, wh, mask_bm, h0, dtype=dtype)
+    return _forward(xw_tm, wh, mask_bm, h0, dtype=dtype)[0]
 
 
 def _vjp_fwd(xw_tm, wh, mask_bm, h0, dtype):
-    h_all = _forward(xw_tm, wh, mask_bm, h0, dtype=dtype)
-    return h_all, (xw_tm, wh, mask_bm, h0, h_all)
+    h_all, hp_all = _forward(xw_tm, wh, mask_bm, h0, dtype=dtype)
+    return h_all, (xw_tm, wh, mask_bm, hp_all)
 
 
 def _vjp_bwd(dtype, res, dh_out):
-    xw_tm, wh, mask_bm, h0, h_all = res
-    dxw, dwh, dh0 = _backward(xw_tm, wh, mask_bm, h0, h_all, dh_out,
+    xw_tm, wh, mask_bm, hp_all = res
+    dxw, dwh, dh0 = _backward(xw_tm, wh, mask_bm, hp_all, dh_out,
                               dtype=dtype)
     return dxw, dwh, None, dh0
 

@@ -66,12 +66,28 @@ def _pad_axis(x, mult, axis):
     return x
 
 
+def padded_seq_len(L: int, b: int, h: int) -> int:
+    """Smallest Lp ≥ L that the kernel tiles with no internal time padding.
+
+    Callers that right-pad their batches to this length (pad steps carry
+    mask 0 → exact no-ops under masked state updates) avoid the per-call
+    [L, B, ·]-sized pad/slice copies around the kernel — measured ~275 µs
+    per step at the flagship LSTM shape (L=30 → 32)."""
+    lp = L
+    for _ in range(8):
+        _, lt = _pick_tiles(b, lp, h)
+        if lp % lt == 0:
+            return lp
+        lp = -(-lp // lt) * lt
+    return lp
+
+
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(xw_ref, wh_ref, mask_ref, h0_ref, c0_ref,
-                h_out_ref, c_out_ref,
+                h_out_ref, c_out_ref, hp_out_ref, cp_out_ref,
                 h_scr, c_scr, *, LT, H, dtype):
     @pl.when(pl.program_id(1) == 0)
     def _():
@@ -81,6 +97,14 @@ def _fwd_kernel(xw_ref, wh_ref, mask_ref, h0_ref, c0_ref,
     wh = wh_ref[:].astype(dtype)
 
     def step(tt, _):
+        # shift-by-one residuals for the backward sweep: the scratch still
+        # holds the PRE-update state here, i.e. h_{t-1}/c_{t-1}. Emitting
+        # them from the kernel replaces the external
+        # concat([h0, h_all[:-1]]) construction, which cost two
+        # [L, B, H]-sized slice+pad copies per layer per step (measured
+        # ~95 us each at the flagship LSTM shape).
+        hp_out_ref[pl.ds(tt, 1)] = h_scr[:][None]
+        cp_out_ref[pl.ds(tt, 1)] = c_scr[:][None]
         gates = xw_ref[pl.ds(tt, 1)][0] + jax.lax.dot_general(
             h_scr[:].astype(dtype), wh,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -119,7 +143,7 @@ def _forward(xw_tm, wh, mask_bm, h0, c0, *, dtype):
                                     memory_space=pltpu.VMEM)
     bblock = pl.BlockSpec((BT, H), lambda i, j: (i, 0),
                           memory_space=pltpu.VMEM)
-    h_all, c_all = pl.pallas_call(
+    h_all, c_all, hp_all, cp_all = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -129,8 +153,10 @@ def _forward(xw_tm, wh, mask_bm, h0, c0, *, dtype):
             tblock(H),
             bblock, bblock,
         ],
-        out_specs=[tblock(H), tblock(H)],
+        out_specs=[tblock(H), tblock(H), tblock(H), tblock(H)],
         out_shape=[
+            jax.ShapeDtypeStruct((Lp, Bp, H), jnp.float32),
+            jax.ShapeDtypeStruct((Lp, Bp, H), jnp.float32),
             jax.ShapeDtypeStruct((Lp, Bp, H), jnp.float32),
             jax.ShapeDtypeStruct((Lp, Bp, H), jnp.float32),
         ],
@@ -145,7 +171,8 @@ def _forward(xw_tm, wh, mask_bm, h0, c0, *, dtype):
         ),
         interpret=_interpret(),
     )(xw_tm, wh, mask_e, h0, c0)
-    return h_all[:L, :B], c_all[:L, :B]
+    return (h_all[:L, :B], c_all[:L, :B],
+            hp_all[:L, :B], cp_all[:L, :B])
 
 
 # ---------------------------------------------------------------------------
@@ -219,7 +246,7 @@ def _bwd_kernel(xw_ref, wh_ref, mask_ref, hp_ref, cp_ref, dh_out_ref,
     dc0_ref[:] = dc_scr[:]
 
 
-def _backward(xw_tm, wh, mask_bm, h0, c0, h_all, c_all, dh_out, dcT,
+def _backward(xw_tm, wh, mask_bm, h_prev, c_prev, dh_out, dcT,
               *, dtype):
     L, B, H4 = xw_tm.shape
     H = H4 // 4
@@ -229,10 +256,11 @@ def _backward(xw_tm, wh, mask_bm, h0, c0, h_all, c_all, dh_out, dcT,
     Lp, Bp = xw_tm.shape[:2]
     mask_bm = _pad_axis(_pad_axis(mask_bm, BT, 0), LT, 1)
     mask_e = jnp.broadcast_to(mask_bm.T[:, :, None], (Lp, Bp, H))
-    # shift-by-one views: h_prev[t] = h_all[t-1] (h0 at t=0) — block
-    # boundaries then need no cross-block reads in the reversed sweep.
-    h_prev = pad2(jnp.concatenate([h0[None], h_all[:-1]], axis=0))
-    c_prev = pad2(jnp.concatenate([c0[None], c_all[:-1]], axis=0))
+    # shift-by-one residuals h_prev[t] = h_{t-1} come straight from the
+    # forward kernel (see _fwd_kernel), so no external concat/slice/pad —
+    # block boundaries need no cross-block reads in the reversed sweep.
+    h_prev = pad2(h_prev)
+    c_prev = pad2(c_prev)
     dh_out = pad2(dh_out)
     dcT = _pad_axis(dcT, BT, 0)
 
@@ -292,20 +320,21 @@ def lstm_layer_pallas(xw_tm, wh, mask_bm, h0, c0, dtype=jnp.bfloat16):
     flow through them AND through cT, so a segmented scan over time chunks
     has exactly the gradient of the unsegmented scan (SURVEY.md §5
     "Long-context": temporal pipelining)."""
-    h_all, c_all = _forward(xw_tm, wh, mask_bm, h0, c0, dtype=dtype)
+    h_all, c_all, _, _ = _forward(xw_tm, wh, mask_bm, h0, c0, dtype=dtype)
     return h_all, c_all[-1]
 
 
 def _vjp_fwd(xw_tm, wh, mask_bm, h0, c0, dtype):
-    h_all, c_all = _forward(xw_tm, wh, mask_bm, h0, c0, dtype=dtype)
-    return (h_all, c_all[-1]), (xw_tm, wh, mask_bm, h0, c0, h_all, c_all)
+    h_all, c_all, hp_all, cp_all = _forward(xw_tm, wh, mask_bm, h0, c0,
+                                            dtype=dtype)
+    return (h_all, c_all[-1]), (xw_tm, wh, mask_bm, hp_all, cp_all)
 
 
 def _vjp_bwd(dtype, res, cts):
-    xw_tm, wh, mask_bm, h0, c0, h_all, c_all = res
+    xw_tm, wh, mask_bm, hp_all, cp_all = res
     dh_out, dcT = cts
-    dxw, dwh, dh0, dc0 = _backward(xw_tm, wh, mask_bm, h0, c0,
-                                   h_all, c_all, dh_out, dcT, dtype=dtype)
+    dxw, dwh, dh0, dc0 = _backward(xw_tm, wh, mask_bm, hp_all, cp_all,
+                                   dh_out, dcT, dtype=dtype)
     return dxw, dwh, None, dh0, dc0
 
 

@@ -310,6 +310,32 @@ def seq_hidden(params, spec: SeqSpec, item_dev, user_dev, batch,
                     time_major=time_major)
 
 
+def _pad_time_for_scan(spec: SeqSpec, batch: dict) -> dict:
+    """RIGHT-pad the time axis to the Pallas kernels' native tile length.
+
+    Pad steps carry mask 0, so they are exact no-ops for the recurrence
+    (masked state updates) and weight 0 in the loss — the value and every
+    gradient are unchanged. Padding the int32 batch ONCE here is ~1000×
+    cheaper than the [L, B, ·]-sized f32 pad/slice copies the kernel
+    wrappers otherwise emit around every forward+backward (measured
+    ~275 µs/step at the flagship LSTM shape, L=30 → 32)."""
+    if not spec.use_pallas_scan:
+        return batch
+    from arec.kernels.lstm_scan import padded_seq_len
+    b, L = batch["inputs"].shape
+    lp = padded_seq_len(L, b, spec.dim)
+    if lp == L:
+        return batch
+    pad_id = spec.vocab          # the PAD row; encodes to exactly zero
+    out = dict(batch)
+    out["inputs"] = jnp.pad(batch["inputs"], ((0, 0), (0, lp - L)),
+                            constant_values=pad_id)
+    out["targets"] = jnp.pad(batch["targets"], ((0, 0), (0, lp - L)),
+                             constant_values=pad_id)
+    out["mask"] = jnp.pad(batch["mask"], ((0, 0), (0, lp - L)))
+    return out
+
+
 def seq_loss(params, spec: SeqSpec, item_dev, user_dev, batch,
              rng: jax.Array, lookup_fn=dense_lookup,
              lookup_fns: dict | None = None,
@@ -348,6 +374,7 @@ def seq_loss(params, spec: SeqSpec, item_dev, user_dev, batch,
             hs.append(h_s)
         h, new_states = jnp.concatenate(hs, axis=0 if time_major else 1), st
     else:
+        batch = _pad_time_for_scan(spec, batch)
         h = seq_hidden(params, spec, item_dev, user_dev, batch, lookup_fn,
                        dropout_rng=r_drop, lookup_fns=lookup_fns,
                        states=states, return_states=return_states,
