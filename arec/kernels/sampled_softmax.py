@@ -97,8 +97,41 @@ def _unpack_lanes(r):
     return f(0), _pick_lane_bits(r, 1), f(2)
 
 
+def _sel(d_in, d_out, dtype):
+    """[d_in, d_out] 0/1 selection matrix: identity on the top-left block.
+    vt @ _sel drops trailing lanes; x @ _sel.T re-expands — the MXU is the
+    only offset-free way to move a lane-slab on TPU (direct lane slices at
+    non-zero offsets fail Mosaic lowering, see _pick_lane_bits)."""
+    ii = jax.lax.broadcasted_iota(jnp.int32, (d_in, d_out), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (d_in, d_out), 1)
+    return (ii == jj).astype(dtype)
+
+
+def _true_side(q, vt_ref, rin_ref, *, aug, dtype):
+    """(v_true [NT, D] f32, tl [NT, 1], tid [NT, 1] i32, w [NT, 1]).
+
+    aug=False: vt_ref is [NT, D]; rin lane 0 = bias − log(S·P).
+    aug=True:  vt_ref is the RAW gathered [NT, D+1] output-table rows
+    (bias in lane D); rin lane 0 = −log(S·P) only."""
+    tl0, tid, w = _unpack_lanes(rin_ref[:])
+    vt = vt_ref[:]
+    if aug:
+        d = q.shape[1]
+        v = jax.lax.dot_general(
+            vt.astype(dtype), _sel(d + 1, d, dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        bias = jax.lax.bitcast_convert_type(
+            _pick_lane_bits(vt, d), jnp.float32)
+        tl0 = tl0 + bias
+    else:
+        v = vt.astype(jnp.float32)
+    tl = tl0 + jnp.sum(q.astype(jnp.float32) * v, axis=1, keepdims=True)
+    return v, tl, tid, w
+
+
 def _sums_fwd_kernel(q_ref, vt_ref, vs_ref, cs_ref, rin_ref, sid_ref,
-                     rout_ref, sums_ref, *, dtype):
+                     rout_ref, sums_ref, *, aug, dtype):
     @pl.when(pl.program_id(0) == 0)
     def _():
         sums_ref[:] = jnp.zeros_like(sums_ref)
@@ -108,13 +141,9 @@ def _sums_fwd_kernel(q_ref, vt_ref, vs_ref, cs_ref, rin_ref, sid_ref,
         q.astype(dtype), vs_ref[:].astype(dtype),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) + cs_ref[:]          # [NT, S]
-    tl0, tid, w = _unpack_lanes(rin_ref[:])            # [NT, 1] columns
+    _, tl, tid, w = _true_side(q, vt_ref, rin_ref, aug=aug, dtype=dtype)
     hit = tid == sid_ref[:]                            # [NT, S]
     logits = jnp.where(hit, NEG, logits)
-
-    tl = tl0 + jnp.sum(
-        q.astype(jnp.float32) * vt_ref[:].astype(jnp.float32), axis=1,
-        keepdims=True)                                 # [NT, 1]
     m = jnp.maximum(jnp.max(logits, axis=1, keepdims=True), tl)
     lse = m + jnp.log(jnp.exp(tl - m)
                       + jnp.sum(jnp.exp(logits - m), axis=1, keepdims=True))
@@ -129,7 +158,8 @@ def _sums_fwd_kernel(q_ref, vt_ref, vs_ref, cs_ref, rin_ref, sid_ref,
 
 def _sums_bwd_kernel(q_ref, vt_ref, vs_ref, cs_ref, rin_ref, sid_ref,
                      rout_ref, scale_ref,
-                     dq_ref, dvt_ref, dvs_ref, dbs_ref, dbt_ref, *, dtype):
+                     dq_ref, dvt_ref, dvs_ref, dbs_ref, dbt_ref=None, *, aug,
+                     dtype):
     @pl.when(pl.program_id(0) == 0)
     def _():
         dvs_ref[:] = jnp.zeros_like(dvs_ref)
@@ -141,12 +171,9 @@ def _sums_bwd_kernel(q_ref, vt_ref, vs_ref, cs_ref, rin_ref, sid_ref,
         q.astype(dtype), vs.astype(dtype),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) + cs_ref[:]
-    tl0, tid, w = _unpack_lanes(rin_ref[:])            # [NT, 1] columns
+    v, tl, tid, w = _true_side(q, vt_ref, rin_ref, aug=aug, dtype=dtype)
     hit = tid == sid_ref[:]
     logits = jnp.where(hit, NEG, logits)
-    tl = tl0 + jnp.sum(
-        q.astype(jnp.float32) * vt_ref[:].astype(jnp.float32), axis=1,
-        keepdims=True)                                 # [NT, 1]
 
     lse = jax.lax.bitcast_convert_type(
         _pick_lane_bits(rout_ref[:], 1), jnp.float32)  # [NT, 1]
@@ -156,18 +183,31 @@ def _sums_bwd_kernel(q_ref, vt_ref, vs_ref, cs_ref, rin_ref, sid_ref,
     wp = g * p                                         # [NT, S]
     wt = g * (pt - 1.0)                                # [NT, 1]
 
-    dq_ref[:] = (wt * vt_ref[:].astype(jnp.float32)
+    dq_ref[:] = (wt * v
                  + jax.lax.dot_general(
                      wp.astype(dtype), vs.astype(dtype),
                      dimension_numbers=(((1,), (0,)), ((), ())),
                      preferred_element_type=jnp.float32))
-    dvt_ref[:] = wt * q.astype(jnp.float32)
+    if aug:
+        # d(vt_aug): value-lane grads re-expanded onto lanes 0..D-1 via the
+        # selection matmul; the bias grad (= wt) rides lane D — no separate
+        # [N,1] dbt stream (it would cost 128x its bytes under tiling)
+        d = q.shape[1]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (q.shape[0], d + 1), 1)
+        dvt_ref[:] = (jax.lax.dot_general(
+            (wt * q.astype(jnp.float32)).astype(dtype),
+            _sel(d + 1, d, dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+            + jnp.where(lane == d, wt, 0.0))
+    else:
+        dvt_ref[:] = wt * q.astype(jnp.float32)
+        dbt_ref[:] = wt
     dvs_ref[:] += jax.lax.dot_general(
         wp.astype(dtype), q.astype(dtype),
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     dbs_ref[:] += jnp.sum(wp, axis=0, keepdims=True)
-    dbt_ref[:] = wt
 
 
 def _pack_rin(tl_base, true_ids, weights, n, nt):
@@ -184,19 +224,19 @@ def _pack_rin(tl_base, true_ids, weights, n, nt):
 
 
 def _sums_forward(q, v_true, v_samp, c_samp, rin, sampled_ids, *, nt, dtype):
-    n = q.shape[0]
     s = v_samp.shape[0]
     np_ = rin.shape[0]
-    q_p, vt_p = _pad_rows(q, nt), _pad_rows(v_true, nt)
+    aug = v_true.shape[1] == q.shape[1] + 1      # raw [N, D+1] rows, bias in
+    q_p, vt_p = _pad_rows(q, nt), _pad_rows(v_true, nt)  # lane D (aug mode)
     grid = (np_ // nt,)
     row = lambda w: pl.BlockSpec((nt, w), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM)
     rep = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
     rout, sums = pl.pallas_call(
-        functools.partial(_sums_fwd_kernel, dtype=dtype),
+        functools.partial(_sums_fwd_kernel, aug=aug, dtype=dtype),
         grid=grid,
-        in_specs=[row(q.shape[1]), row(q.shape[1]),
+        in_specs=[row(q.shape[1]), row(v_true.shape[1]),
                   rep(s, q.shape[1]), rep(1, s), row(3), rep(1, s)],
         out_specs=[row(2), rep(1, 2)],
         out_shape=[jax.ShapeDtypeStruct((np_, 2), jnp.float32),
@@ -210,33 +250,47 @@ def _sums_backward(q, v_true, v_samp, c_samp, rin, sampled_ids, rout,
                    g_num, *, nt, dtype):
     n = q.shape[0]
     np_ = rin.shape[0]
+    aug = v_true.shape[1] == q.shape[1] + 1
     q_p, vt_p = _pad_rows(q, nt), _pad_rows(v_true, nt)
     grid = (np_ // nt,)
     d = q.shape[1]
-    s = v_samp.shape[0]
+    dt = v_true.shape[1]                 # d+1 in aug mode: dvt carries the
+    s = v_samp.shape[0]                  # bias grad in lane D, no dbt stream
     row = lambda w: pl.BlockSpec((nt, w), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM)
     rep = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
     col = pl.BlockSpec((nt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     scale = jnp.reshape(g_num.astype(jnp.float32), (1, 1))
-    dq, dvt, dvs, dbs, dbt = pl.pallas_call(
-        functools.partial(_sums_bwd_kernel, dtype=dtype),
+    out_specs = [row(d), row(dt), rep(s, d), rep(1, s)]
+    out_shape = [jax.ShapeDtypeStruct((np_, d), jnp.float32),
+                 jax.ShapeDtypeStruct((np_, dt), jnp.float32),
+                 jax.ShapeDtypeStruct((s, d), jnp.float32),
+                 jax.ShapeDtypeStruct((1, s), jnp.float32)]
+    if not aug:
+        out_specs.append(col)
+        out_shape.append(jax.ShapeDtypeStruct((np_, 1), jnp.float32))
+    outs = pl.pallas_call(
+        functools.partial(_sums_bwd_kernel, aug=aug, dtype=dtype),
         grid=grid,
-        in_specs=[row(d), row(d), rep(s, d), rep(1, s), row(3), rep(1, s),
+        in_specs=[row(d), row(dt), rep(s, d), rep(1, s), row(3), rep(1, s),
                   row(2),
                   pl.BlockSpec((1, 1), lambda i: (0, 0),
                                memory_space=pltpu.SMEM)],
-        out_specs=[row(d), row(d), rep(s, d), rep(1, s), col],
-        out_shape=[jax.ShapeDtypeStruct((np_, d), jnp.float32),
-                   jax.ShapeDtypeStruct((np_, d), jnp.float32),
-                   jax.ShapeDtypeStruct((s, d), jnp.float32),
-                   jax.ShapeDtypeStruct((1, s), jnp.float32),
-                   jax.ShapeDtypeStruct((np_, 1), jnp.float32)],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=_interpret(),
     )(q_p, vt_p, v_samp, c_samp[None, :], rin, sampled_ids[None, :], rout,
       scale)
-    return dq[:n], dvt[:n], dvs, dbs[0], dbt[:n, 0]
+    if aug:
+        dq, dvt, dvs, dbs = outs
+        # d(loss)/d(tl_base) == the bias grad already riding dvt lane D;
+        # tl_base is a sampler constant in training, so this slice is DCE'd
+        dbt = dvt[:n, d]
+    else:
+        dq, dvt, dvs, dbs, dbt_col = outs
+        dbt = dbt_col[:n, 0]
+    return dq[:n], dvt[:n], dvs, dbs[0], dbt
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
@@ -245,9 +299,18 @@ def fused_sampled_ce_sums(q, v_true, v_samp, c_samp, tl_base, true_ids,
                           dtype=jnp.bfloat16):
     """(Σ wᵢ·ceᵢ, Σ wᵢ) of the sampled-softmax CE — the training entry.
 
-    Same math as `fused_sampled_ce` (tests assert parity) but the reduction
+    Same math as the pure-JAX path (tests assert parity) but the reduction
     happens inside the kernel; the caller divides. weights=None means
     w ≡ 1. Differentiable in q, v_true, v_samp, c_samp, tl_base, weights.
+
+    AUG mode (dispatch: v_true.shape[1] == q.shape[1] + 1): v_true is the
+    RAW gathered [N, D+1] output-table rows with the per-item bias in lane
+    D, and tl_base carries only the −log(S·P) correction — the bias is
+    added in-kernel. The VJP then returns d(v_true) as [N, D+1] with the
+    bias grad in lane D: exactly the update-row shape the table
+    scatter-add consumes, so no bias-column slice, no separate [N, 1] dbt
+    stream (128× its logical bytes under T(8,128) tiling), and no
+    re-merge of value/bias grads outside the kernel.
     """
     rin = _pack_rin(tl_base, true_ids, weights, q.shape[0], nt)
     num, den, _ = _sums_forward(q, v_true, v_samp, c_samp, rin, sampled_ids,

@@ -91,6 +91,14 @@ def sampled_softmax_loss(
                                    # per-device rows
     pop=None,                      # (cdf, probs) from sampling.make_pop —
                                    # required when dist == "pop"
+    embed_raw=None,                # optional ids -> RAW [n, D+1] table rows
+                                   # (bias in lane D). When the kernel path
+                                   # is taken, the TRUE side feeds these
+                                   # straight into the kernel's aug mode:
+                                   # no bias-column slice on the [N, D+1]
+                                   # gather and the bias grad rides lane D
+                                   # of d(v_true) — the exact update-row
+                                   # shape the table scatter-add consumes
 ) -> jnp.ndarray:
     """TF1 `tf.nn.sampled_softmax_loss` semantics, rebuilt:
     S shared negatives per step, −log(S·P) logit correction, accidental-hit
@@ -98,7 +106,6 @@ def sampled_softmax_loss(
     sampled_ids, p = sampled if sampled is not None else draw(
         rng, num_sampled, vocab, dist, pop)
 
-    v_true, b_true = embed(true_ids)               # [N, D], [N]
     v_samp, b_samp = embed(sampled_ids)            # [S, D], [S]
 
     if use_kernel is None:
@@ -110,8 +117,13 @@ def sampled_softmax_loss(
         from arec.kernels.sampled_softmax import (
             fused_sampled_ce_sums, fused_sampled_ce_sums_sharded)
         c_samp = b_samp - jnp.log(num_sampled * p)
-        tl_base = b_true - jnp.log(
-            num_sampled * _p_of(true_ids, vocab, dist, pop))
+        corr = jnp.log(num_sampled * _p_of(true_ids, vocab, dist, pop))
+        if embed_raw is not None:
+            v_true = embed_raw(true_ids)           # [N, D+1], aug dispatch
+            tl_base = -corr
+        else:
+            v_true, b_true = embed(true_ids)       # [N, D], [N]
+            tl_base = b_true - corr
         # sums-level kernel: the (weighted-)mean reduction happens inside
         # the kernel, so no [N,1] per-row cotangent / CE columns ever
         # materialize in HBM (each costs 128× its logical bytes under TPU
@@ -128,6 +140,7 @@ def sampled_softmax_loss(
             return num / query.shape[0]
         return num / jnp.maximum(den, 1.0)
     else:
+        v_true, b_true = embed(true_ids)           # [N, D], [N]
         true_logit = _rowdot(query, v_true) + b_true
         true_logit = true_logit - jnp.log(
             num_sampled * _p_of(true_ids, vocab, dist, pop))

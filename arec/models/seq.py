@@ -391,18 +391,26 @@ def seq_loss(params, spec: SeqSpec, item_dev, user_dev, batch,
     else:
         flat_t = batch["targets"].reshape(-1)
         flat_w = batch["mask"].reshape(-1)
+    embed_raw = None
     if spec.tie_output:
         embed = lambda ids: encode_with_bias(
             params["item_in"], spec.item_in, item_dev, ids,
             lk.get("item", lookup_fn))
     else:
+        # raw [n, D+1] rows (bias in lane D): the fused-CE kernel's aug
+        # mode consumes/produces this shape directly for the true side —
+        # bias slice and grad re-merge both disappear
+        embed_raw = lambda ids: lk.get("out", lookup_fn)(
+            params["item_out"], ids)
+
         def embed(ids):
-            rows = lk.get("out", lookup_fn)(params["item_out"], ids)
+            rows = embed_raw(ids)
             return rows[:, :d], rows[:, d]
     loss = sampled_softmax_loss(
         flat_h, flat_t, embed, r_neg, spec.num_sampled, spec.vocab,
         dist=spec.sampler, weights=flat_w, compute_dtype=spec.dtype,
-        sampled=sampled, use_kernel=use_kernel, mesh=mesh, pop=pop)
+        sampled=sampled, use_kernel=use_kernel, mesh=mesh, pop=pop,
+        embed_raw=embed_raw)
     if return_states:
         return loss, new_states
     return loss

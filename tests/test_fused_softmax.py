@@ -88,6 +88,73 @@ def test_fused_pads_non_multiple_rows():
     np.testing.assert_allclose(float(got), float(ref), rtol=1e-5, atol=1e-6)
 
 
+def _aug_loss(q, taug, true_ids, rng, use_kernel, weights=None, mesh=None):
+    """Loss through the kernel's AUG path: embed_raw feeds the raw
+    [n, D+1] rows (bias in lane D) straight in."""
+    return sampled_softmax_loss(
+        q, true_ids,
+        embed=lambda ids: (taug[ids, :D], taug[ids, D]),
+        embed_raw=lambda ids: taug[ids],
+        rng=rng, num_sampled=S, vocab=V,
+        compute_dtype=jnp.float32, weights=weights,
+        use_kernel=use_kernel, mesh=mesh)
+
+
+@pytest.mark.parametrize("weighted", [False, True])
+def test_fused_aug_matches_pure(weighted):
+    q, true_ids, table, bias_v, rng = _setup(13)
+    w = (jnp.asarray(np.random.default_rng(2).integers(0, 2, N), jnp.float32)
+         if weighted else None)
+    taug = jnp.concatenate([table, bias_v[:, None]], axis=1)
+    ref = _loss(q, table, bias_v, true_ids, rng, False, w)
+    got = _aug_loss(q, taug, true_ids, rng, True, w)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_fused_aug_gradients_match_pure():
+    """d(taug) must carry the table grad in columns :D and the bias grad
+    in column D — the exact scatter-add update-row layout."""
+    q, true_ids, table, bias_v, rng = _setup(17)
+    taug = jnp.concatenate([table, bias_v[:, None]], axis=1)
+
+    gq_r, gt_r, gb_r = jax.grad(
+        lambda q, t, b: _loss(q, t, b, true_ids, rng, False),
+        argnums=(0, 1, 2))(q, table, bias_v)
+    gq_k, gaug = jax.grad(
+        lambda q, t: _aug_loss(q, t, true_ids, rng, True),
+        argnums=(0, 1))(q, taug)
+    np.testing.assert_allclose(np.asarray(gq_k), np.asarray(gq_r),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gaug[:, :D]), np.asarray(gt_r),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gaug[:, D]), np.asarray(gb_r),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_fused_aug_under_mesh_matches_pure():
+    """AUG mode through the shard_map wrapper (v_true width D+1)."""
+    from arec.dist.mesh import make_mesh
+    mesh = make_mesh(2, 4)
+    q, true_ids, table, bias_v, rng = _setup(19)
+    taug = jnp.concatenate([table, bias_v[:, None]], axis=1)
+    ref = _loss(q, table, bias_v, true_ids, rng, False)
+    got = jax.jit(lambda q, t: _aug_loss(q, t, true_ids, rng, True,
+                                         mesh=mesh))(q, taug)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5, atol=1e-6)
+    gq_r, gt_r, gb_r = jax.grad(
+        lambda q, t, b: _loss(q, t, b, true_ids, rng, False),
+        argnums=(0, 1, 2))(q, table, bias_v)
+    gq_k, gaug = jax.jit(jax.grad(
+        lambda q, t: _aug_loss(q, t, true_ids, rng, True, mesh=mesh),
+        argnums=(0, 1)))(q, taug)
+    np.testing.assert_allclose(np.asarray(gq_k), np.asarray(gq_r),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gaug[:, :D]), np.asarray(gt_r),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gaug[:, D]), np.asarray(gb_r),
+                               rtol=2e-4, atol=2e-5)
+
+
 @pytest.mark.parametrize("shape", [(2, 4), (4, 2), (8, 1), (1, 8)],
                          ids=lambda s: f"{s[0]}x{s[1]}")
 def test_fused_under_mesh_matches_pure(shape):

@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--nt", type=int, default=256)
     ap.add_argument("--windows", type=int, default=5)
     ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--aug", action="store_true",
+                    help="bias-in-vt mode: vt is [N, D+1] raw rows")
     args = ap.parse_args()
     n, s, d = args.n, args.s, args.d
 
@@ -36,7 +38,7 @@ def main():
     k = jax.random.key(0)
     ks = jax.random.split(k, 8)
     q = jax.random.normal(ks[0], (n, d), jnp.float32)
-    vt = jax.random.normal(ks[1], (n, d), jnp.float32)
+    vt = jax.random.normal(ks[1], (n, d + 1 if args.aug else d), jnp.float32)
     vs = jax.random.normal(ks[2], (s, d), jnp.float32)
     cs = jax.random.normal(ks[3], (s,), jnp.float32)
     tl = jax.random.normal(ks[4], (n,), jnp.float32)
