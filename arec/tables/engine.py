@@ -396,8 +396,15 @@ def _encode_impl(
 
 def gather_row_ids(spec: EncoderSpec, attr_dev: dict, ids: jnp.ndarray
                    ) -> jnp.ndarray:
-    """Every fused-table row id the GATHER path touches for entity `ids`
-    (invalid mulhot slots request row 0, exactly as encode does)."""
+    """Every fused-table row id the GATHER path touches for entity `ids`.
+
+    Invalid mulhot slots map to the OOB sentinel `total_rows`, NOT to the
+    row 0 that encode's masked gather requests: their contribution is
+    mask-zeroed (zero gradient), so they are not touched rows. Mapping
+    them to 0 was a real bug when a dense prefix exists — row 0 is then a
+    prefix row, and the touched-rows scatter of its (zero-grad) update
+    slot OVERWROTE the prefix update of row 0 every step
+    (tests/test_sparse.py mixed-threshold parametrizations)."""
     flat = ids.reshape(-1)
     parts = []
     if spec.gather_cat_fields:
@@ -410,7 +417,7 @@ def gather_row_ids(spec: EncoderSpec, attr_dev: dict, ids: jnp.ndarray
             parts.append(attr_dev["cat"][flat].reshape(-1))
     if spec.gather_mulhot_fields:
         m = attr_dev["mul"][flat].reshape(-1)
-        parts.append(jnp.where(m >= 0, m, 0))
+        parts.append(jnp.where(m >= 0, m, spec.total_rows))
     if not parts:
         return jnp.zeros((0,), jnp.int32)
     return jnp.concatenate(parts)

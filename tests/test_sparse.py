@@ -51,10 +51,14 @@ def _steps_equal(dense_params, sparse_params, paths=None):
 
 # dense_threshold=512 → every small field in the dense prefix (tiny
 # synthetic vocabs: uids empty, prefix-only updates); 0 → every field on
-# the GATHER path (full uids/subset/scatter machinery exercised).
+# the GATHER path (full uids/subset/scatter machinery exercised); 12 →
+# MIXED: cat fields dense (prefix > 0) while the mulhot fields gather with
+# invalid (-1) slots — the regression case where invalid slots mapped to
+# row 0 used to overwrite the prefix update of row 0 (gather_row_ids).
 @pytest.mark.parametrize("optimizer,dense_threshold",
                          [("adagrad", 512), ("sgd", 512),
-                          ("adagrad", 0), ("sgd", 0)])
+                          ("adagrad", 0), ("sgd", 0),
+                          ("adagrad", 12), ("sgd", 12)])
 def test_mf_sparse_step_matches_dense(tmp_path, optimizer, dense_threshold):
     cfg = _cfg("mf", tmp_path, optimizer, dense_threshold)
     ds = load_or_prepare(cfg.data)
@@ -94,7 +98,8 @@ def test_mf_sparse_step_matches_dense(tmp_path, optimizer, dense_threshold):
 
 @pytest.mark.parametrize("tie_output,concat_user,dense_threshold",
                          [(False, False, 512), (True, True, 512),
-                          (False, False, 0), (True, True, 0)])
+                          (False, False, 0), (True, True, 0),
+                          (False, False, 12), (True, True, 12)])
 def test_seq_sparse_step_matches_dense(tmp_path, tie_output, concat_user,
                                        dense_threshold):
     cfg = _cfg("lstm", tmp_path, tie_output=tie_output,
