@@ -252,8 +252,14 @@ def attrs_to_device(attrs: AttributeData,
 
 
 def dense_lookup(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
-    """Single-device row gather (the reference's embedding_lookup analog)."""
-    return jnp.take(table, ids, axis=0)
+    """Single-device row gather (the reference's embedding_lookup analog).
+
+    mode="clip": ids are in-range by construction (pad ids address a real
+    zeroed pad row, engine tables always carry one), and jnp.take's default
+    "fill" mode lowers on TPU to clamp + gather + a full-width select over
+    the gathered [N, D] rows — a pure extra read+write of every gathered
+    byte (measured 103 µs/step on the flagship LSTM, 21 µs on MF)."""
+    return jnp.take(table, ids, axis=0, mode="clip")
 
 
 def encode(

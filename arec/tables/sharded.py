@@ -95,7 +95,9 @@ def _exchange_lookup(table_shard: jnp.ndarray, ids: jnp.ndarray,
     send_local, send_valid, send_pos = _bucket_by_owner(ids, T, rows_per, cap)
 
     recv_local = jax.lax.all_to_all(send_local, TABLE_AXIS, 0, 0, tiled=False)
-    rows = jnp.take(table_shard, recv_local.reshape(-1), axis=0)
+    # mode="clip": recv_local is `id % rows_per` or 0 for pad slots — always
+    # in range; avoids the fill-mode select pass over the gathered rows.
+    rows = jnp.take(table_shard, recv_local.reshape(-1), axis=0, mode="clip")
     rows = rows.reshape(T, cap, -1)                       # [T, C, D]
     back = jax.lax.all_to_all(rows, TABLE_AXIS, 0, 0, tiled=False)
 
@@ -142,5 +144,5 @@ def make_gspmd_lookup():
     GSPMD-annotated operands — XLA chooses the collectives. Kept for perf
     comparison and as a correctness cross-check."""
     def lookup(table, ids):
-        return jnp.take(table, ids, axis=0)
+        return jnp.take(table, ids, axis=0, mode="clip")
     return lookup
