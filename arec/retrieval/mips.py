@@ -14,7 +14,10 @@ Sharded protocol (SURVEY.md §2.3 "Full-softmax eval sharding"):
     "model" (k·T ≪ V values over ICI) and merged with a final top-k.
 
 Exactness: top-k of a union of per-shard top-ks is the global top-k —
-no approximation anywhere.
+no approximation anywhere by default. The per-shard body is query-blocked
+(peak score memory capped by score_mem_mb at any vocab) and optionally
+selects with `approx_max_k` (recall_target < 1) — the serving trade the
+single-device blocked path offers, now on the mesh too.
 """
 
 from __future__ import annotations
@@ -37,29 +40,67 @@ def topk_mips(query, item_latents, item_bias, seen, k: int = 30,
                           compute_dtype=compute_dtype)
 
 
-def _local_score_topk(q, v_shard, b_shard, seen, k, compute_dtype):
-    """Per-device body: score my item shard, mask my slice of seen ids,
-    local top-k in GLOBAL id space."""
+def _local_score_topk(q, v_shard, b_shard, seen, k, compute_dtype,
+                      score_mem_mb=512, recall_target=1.0, qblock=0):
+    """Per-device body: score my item shard QUERY-BLOCKED (peak score
+    memory ≤ score_mem_mb — at XING scale a [Bl, Vs] matrix can still be
+    GBs per chip), mask my slice of seen ids, local top-k in GLOBAL id
+    space. recall_target < 1 selects per chunk with `approx_max_k` over
+    top-(k+S) candidates (seen-masking on the candidate set, as in
+    blocked_topk_mips); the k·T merge stays exact either way."""
     vs = v_shard.shape[0]
     shard_idx = jax.lax.axis_index(TABLE_AXIS)
     offset = shard_idx * vs
 
-    scores = jax.lax.dot_general(
-        q.astype(compute_dtype), v_shard.astype(compute_dtype),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + b_shard[None, :]
+    bl, d = q.shape
+    s_width = seen.shape[1]
+    if not qblock:
+        qblock = max(1, min(bl, (score_mem_mb << 20) // max(4 * vs, 1)))
+        nb = -(-bl // qblock)
+        qblock = -(-bl // nb)
+    nb = -(-bl // qblock)
+    bp = nb * qblock
+    if bp != bl:
+        q = jnp.pad(q, ((0, bp - bl), (0, 0)))
+        seen = jnp.pad(seen, ((0, bp - bl), (0, 0)), constant_values=-1)
+    qs = q.astype(compute_dtype).reshape(nb, qblock, d)
+    vb = v_shard.astype(compute_dtype)
+    exact = recall_target >= 1.0
+    if exact:
+        ss = seen.reshape(nb, qblock, s_width)
+    else:
+        # sorted GLOBAL ids (pad → int32 max) for candidate-set membership
+        ss = jnp.sort(jnp.where(seen >= 0, seen, jnp.iinfo(jnp.int32).max),
+                      axis=1).reshape(nb, qblock, s_width)
+        kb = min(k + s_width, vs)   # ≥ k unseen survivors per shard
 
-    # seen ids are global: penalize those owned by this shard
-    local = seen - offset
-    mine = (local >= 0) & (local < vs) & (seen >= 0)
-    rows = jnp.broadcast_to(
-        jnp.arange(q.shape[0])[:, None], seen.shape)
-    scores = scores.at[rows, jnp.clip(local, 0, vs - 1)].add(
-        jnp.where(mine, -1e9, 0.0))
+    def body(_, xs):
+        qq, sn = xs
+        scores = jax.lax.dot_general(
+            qq, vb, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b_shard[None, :]
+        if exact:
+            # seen ids are global: penalize those owned by this shard
+            local = sn - offset
+            mine = (local >= 0) & (local < vs) & (sn >= 0)
+            rows = jnp.broadcast_to(
+                jnp.arange(qblock)[:, None], sn.shape)
+            scores = scores.at[rows, jnp.clip(local, 0, vs - 1)].add(
+                jnp.where(mine, -1e9, 0.0))
+            tv, ti = jax.lax.top_k(scores, k)
+            return None, (tv, ti + offset)
+        cv, ci = jax.lax.approx_max_k(scores, kb,
+                                      recall_target=recall_target)
+        gi = ci + offset
+        pos = jnp.minimum(jax.vmap(jnp.searchsorted)(sn, gi), s_width - 1)
+        hit = jnp.take_along_axis(sn, pos, axis=1) == gi
+        cv = jnp.where(hit, -jnp.inf, cv)
+        tv, tp = jax.lax.top_k(cv, k)
+        return None, (tv, jnp.take_along_axis(gi, tp, axis=1))
 
-    vals, idx = jax.lax.top_k(scores, k)                     # [Bl, k]
-    return vals, idx + offset
+    _, (vals, ids) = jax.lax.scan(body, None, (qs, ss))
+    return vals.reshape(bp, k)[:bl], ids.reshape(bp, k)[:bl]
 
 
 @partial(jax.jit, static_argnames=("k", "qblock", "compute_dtype",
@@ -140,14 +181,21 @@ def blocked_topk_mips(query, item_latents, item_bias, seen, k: int = 30,
     return vals.reshape(bp, k)[:b], ids.reshape(bp, k)[:b]
 
 
-def make_sharded_topk(mesh: Mesh, k: int = 30, compute_dtype=jnp.bfloat16):
+def make_sharded_topk(mesh: Mesh, k: int = 30, compute_dtype=jnp.bfloat16,
+                      score_mem_mb: int = 512, recall_target: float = 1.0,
+                      qblock: int = 0):
     """Returns topk(query, item_latents, item_bias, seen) -> (scores, ids),
-    exact global top-k over the row-sharded item table.
+    global top-k over the row-sharded item table — exact by default;
+    recall_target < 1 switches the per-shard selection to the approx
+    serving mode (the merge itself stays exact, so per-element recall
+    matches the single-device approx path).
 
     The per-shard score+local-top-k runs in shard_map (out spec
     P("data","model") lays the T shards' k-candidates side by side); the
     k·T-wide merge is ordinary jnp under jit — XLA gathers the tiny
-    candidate slab over ICI and the final top_k is negligible."""
+    candidate slab over ICI and the final top_k is negligible. Per-shard
+    peak score memory is capped at score_mem_mb (query-blocked, same
+    budget rule as blocked_topk_mips)."""
 
     @partial(
         shard_map, mesh=mesh,
@@ -156,7 +204,8 @@ def make_sharded_topk(mesh: Mesh, k: int = 30, compute_dtype=jnp.bfloat16):
         out_specs=(P(DATA_AXIS, TABLE_AXIS), P(DATA_AXIS, TABLE_AXIS)),
     )
     def _local(q, v_shard, b_shard, seen):
-        return _local_score_topk(q, v_shard, b_shard, seen, k, compute_dtype)
+        return _local_score_topk(q, v_shard, b_shard, seen, k, compute_dtype,
+                                 score_mem_mb, recall_target, qblock)
 
     def topk(query, item_latents, item_bias, seen):
         all_vals, all_ids = _local(query, item_latents, item_bias, seen)
@@ -168,11 +217,14 @@ def make_sharded_topk(mesh: Mesh, k: int = 30, compute_dtype=jnp.bfloat16):
 
 
 def sharded_topk(mesh, query, item_latents, item_bias, seen, k: int = 30,
-                 compute_dtype=jnp.bfloat16):
+                 compute_dtype=jnp.bfloat16, score_mem_mb: int = 512,
+                 recall_target: float = 1.0):
     """One-shot convenience wrapper. item_latents rows must be padded to a
     model-axis multiple (pad rows score ~0; push them below any real score
     by padding item_bias rows with -1e9 — see pad_item_shards)."""
-    fn = make_sharded_topk(mesh, k=k, compute_dtype=compute_dtype)
+    fn = make_sharded_topk(mesh, k=k, compute_dtype=compute_dtype,
+                           score_mem_mb=score_mem_mb,
+                           recall_target=recall_target)
     return fn(query, item_latents, item_bias, seen)
 
 

@@ -283,12 +283,9 @@ class Trainer:
         recommend() call would recompile every time."""
         if getattr(self, "_serve_jit_k", None) != k:
             if self.use_mesh:
-                if self.cfg.train.serve_recall_target < 1.0:
-                    print("[config] serve_recall_target ignored on a mesh: "
-                          "the sharded top-k merge path is exact-only",
-                          flush=True)
-                topk = make_sharded_topk(self.mesh, k=k,
-                                         compute_dtype=self.spec.dtype)
+                topk = make_sharded_topk(
+                    self.mesh, k=k, compute_dtype=self.spec.dtype,
+                    recall_target=self.cfg.train.serve_recall_target)
             else:
                 from arec.train.evalu import topk_with_mask
                 topk = partial(topk_with_mask, k=k,

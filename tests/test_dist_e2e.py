@@ -91,6 +91,61 @@ def test_sharded_topk_matches_dense(mesh_shape):
                                   np.asarray(want_i)[distinct])
 
 
+@pytest.mark.parametrize("qblock", [1, 3, 16])
+def test_sharded_topk_query_blocked_matches_unblocked(qblock):
+    """The per-shard query-blocked body must equal the single-chunk path
+    for every chunking (incl. qblock=1 and a non-dividing 3)."""
+    rng = np.random.default_rng(1)
+    B, V, D, K = 16, 40, 8, 5
+    mesh = make_mesh(2, 4)
+    q = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(V, D)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(V,)), jnp.float32)
+    seen = jnp.asarray(
+        np.where(rng.random((B, 6)) < 0.5,
+                 rng.integers(0, V, (B, 6)), -1).astype(np.int32))
+    vp, bp = pad_item_shards(v, b, 4)
+    want_s, want_i = make_sharded_topk(mesh, k=K, compute_dtype=jnp.float32)(
+        q, vp, bp, seen)
+    got_s, got_i = make_sharded_topk(mesh, k=K, compute_dtype=jnp.float32,
+                                     qblock=qblock)(q, vp, bp, seen)
+    # chunked matmuls reduce in a different order → ~1e-7 float drift
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                               rtol=1e-5, atol=1e-6)
+    s = np.asarray(want_s)
+    distinct = np.abs(s - np.roll(s, 1, axis=1)) > 1e-5
+    np.testing.assert_array_equal(np.asarray(got_i)[distinct],
+                                  np.asarray(want_i)[distinct])
+
+
+def test_sharded_topk_approx_mode_never_seen_and_overlaps_exact():
+    """recall_target < 1 on the mesh: results never contain seen items and
+    (on CPU, where approx_max_k lowers to exact) match the exact path on
+    rows whose top-k is unaffected by the candidate-set masking rule."""
+    rng = np.random.default_rng(2)
+    B, V, D, K = 16, 64, 8, 5
+    mesh = make_mesh(2, 4)
+    q = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(V, D)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(V,)), jnp.float32)
+    seen = jnp.asarray(
+        np.where(rng.random((B, 6)) < 0.7,
+                 rng.integers(0, V, (B, 6)), -1).astype(np.int32))
+    vp, bp = pad_item_shards(v, b, 4)
+    ex_s, ex_i = make_sharded_topk(mesh, k=K, compute_dtype=jnp.float32)(
+        q, vp, bp, seen)
+    ap_s, ap_i = make_sharded_topk(mesh, k=K, compute_dtype=jnp.float32,
+                                   recall_target=0.9)(q, vp, bp, seen)
+    ap_i, ex_i, sn = np.asarray(ap_i), np.asarray(ex_i), np.asarray(seen)
+    for i in range(B):
+        s = set(sn[i][sn[i] >= 0])
+        assert not (set(ap_i[i]) & s), f"row {i} returned a seen item"
+        # exact path uses a -1e9 penalty, so if no seen item re-entered its
+        # top-k the two candidate sets must agree
+        if not (set(ex_i[i]) & s):
+            assert set(ap_i[i]) == set(ex_i[i]), f"row {i} ids differ"
+
+
 @pytest.mark.parametrize("mesh_shape", [(2, 4)])
 def test_sharded_seq_loss_and_grads_match_single_device(setup, mesh_shape):
     """The LSTM family through the all-to-all lookup (input-side fused item
