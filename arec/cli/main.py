@@ -10,13 +10,28 @@ system). One entry point for both model families:
 Flags are dotted section.field overrides of the dataclass config
 (arec/config.py); --recommend switches to the top-K emission mode
 (SURVEY.md §3.3).
+
+Mesh configs without a multi-chip slice: AREC_FAKE_DEVICES=8 forces the CPU
+backend with 8 fake XLA devices (SURVEY.md §4 "Distributed tests without a
+cluster"). A plain env var is NOT enough for that — a sitecustomize hook
+pins JAX_PLATFORMS to the TPU plugin, so this must be a jax.config call
+before first jax use, which is why it lives here.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+_fake = int(os.environ.get("AREC_FAKE_DEVICES", "0"))
+if _fake > 1:
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={_fake}").strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
 
 def parse_args(argv=None):

@@ -115,8 +115,33 @@ class MeshConfig:
     model: int = 1
     lookup: str = "alltoall"    # {alltoall, gspmd}: explicit shard_map exchange
                                 # vs XLA-chosen collectives
-    capacity_factor: float = 1.0  # per-destination-shard bucket slack for the
-                                  # all-to-all exchange (1.0 = worst case safe)
+    capacity_factor: float = 0.0  # per-destination-shard bucket slack for the
+                                  # all-to-all exchange. ONLY 0.0 (bucket = n,
+                                  # the full local request count) is
+                                  # overflow-proof for arbitrary id skew: any
+                                  # factor f>0 gives C = ceil(n*f/T) slots per
+                                  # destination and a skewed batch can
+                                  # overflow one owner's bucket (f=1.0 zeroed
+                                  # 39% of zipf(1.3) lookups on a (2,4) mesh —
+                                  # tests/test_sharded.py::
+                                  # test_capacity_overflow_regression). f>0
+                                  # trades comm volume for that risk; overflow
+                                  # is counted (exchange_drops) and surfaced
+                                  # in step metrics, never silent.
+    dedup: bool = True          # unique-ids-per-step before the exchange
+                                # (SURVEY.md §7 step 5); gradient rows are
+                                # segment-summed per unique id BEFORE the
+                                # reverse all-to-all, and the owner-side
+                                # scatter sees collision-free indices.
+    row_shard: str = "shuffle"  # {shuffle, contiguous}: row→shard placement.
+                                # "contiguous" (owner = row // rows_per) puts
+                                # every hot frequency-ranked id on shard 0;
+                                # "shuffle" applies a fixed seeded permutation
+                                # to gather-region rows so hot rows spread
+                                # ~uniformly across shards (mesh-shape
+                                # independent, so checkpoints restore across
+                                # mesh shapes). Contiguous is kept as the
+                                # differential-testing oracle.
 
 
 @dataclass(frozen=True)

@@ -272,14 +272,17 @@ gru_layer_pallas.defvjp(_vjp_fwd, _vjp_bwd)
 
 def pallas_gru_scan(layers: list[dict], x: jnp.ndarray, mask: jnp.ndarray,
                     dtype=jnp.bfloat16, states: list | None = None,
-                    return_states: bool = False, time_major: bool = False):
+                    return_states: bool = False, time_major: bool = False,
+                    dropout_rng=None, keep_prob: float = 1.0):
     """Drop-in replacement for arec.models.seq.rnn_scan (cell='gru'):
     x [B, L, D], mask [B, L] → top-layer hidden states [B, L, H]; with
     time_major=True, x [L, B, D], mask [L, B] → [L, B, H] (no
     embedding-sized transposes — see pallas_lstm_scan).
     `states`: per-layer (h0, c0) carries — the c slot rides along unused so
-    the state pytree matches the LSTM/lax.scan paths."""
-    from arec.models.seq import input_projection  # shared xw layout
+    the state pytree matches the LSTM/lax.scan paths.
+    `dropout_rng`/`keep_prob`: per-layer output dropout applied OUTSIDE the
+    kernel (arec.models.seq.output_dropout), carries stay undropped."""
+    from arec.models.seq import input_projection, output_dropout
 
     b = x.shape[1] if time_major else x.shape[0]
     if time_major:
@@ -298,8 +301,11 @@ def pallas_gru_scan(layers: list[dict], x: jnp.ndarray, mask: jnp.ndarray,
         h_all = gru_layer_pallas(
             xw if time_major else xw.transpose(1, 0, 2),
             p["w"][d_in:], mask, h0, dtype)
-        new_states.append((h_all[-1], c0))
+        new_states.append((h_all[-1], c0))   # carry pre-dropout
         h = h_all if time_major else h_all.transpose(1, 0, 2)
+        if dropout_rng is not None:
+            h = output_dropout(h, jax.random.fold_in(dropout_rng, li),
+                               keep_prob)
     if return_states:
         return h, new_states
     return h

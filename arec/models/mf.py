@@ -124,7 +124,10 @@ def mf_user_latents(params, spec: MFSpec, user_dev, user_ids, lookup_fn=dense_lo
     return encode(params["user"], spec.user, user_dev, user_ids, lookup_fn)
 
 
-def mf_item_latents(params, spec: MFSpec, item_dev, block: int = 8192):
-    """All-item latent matrix + bias for full-softmax eval / retrieval."""
+def mf_item_latents(params, spec: MFSpec, item_dev, block: int = 8192,
+                    lookup_fn=dense_lookup):
+    """All-item latent matrix + bias for full-softmax eval / retrieval.
+    `lookup_fn` must match the table's row layout (shuffle-sharded tables
+    pass a RowPerm-aware lookup — arec.tables.sharded.make_perm_dense_lookup)."""
     return encode_all_items_with_bias(params["item"], spec.item, item_dev,
-                                      block=block)
+                                      block=block, lookup_fn=lookup_fn)

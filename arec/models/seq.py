@@ -230,19 +230,37 @@ def layer_scan(p: dict, cell: str, x: jnp.ndarray, mask: jnp.ndarray,
     return out
 
 
+def output_dropout(h: jnp.ndarray, rng: jax.Array | None,
+                   keep_prob: float) -> jnp.ndarray:
+    """TF1 DropoutWrapper(output_keep_prob) semantics: an independent
+    per-timestep mask on a layer's OUTPUT sequence — what the next layer
+    and the softmax see — while the recurrent (h, c) carry propagates
+    undropped. rng=None (eval) is the identity."""
+    if rng is None or keep_prob >= 1.0:
+        return h
+    keep = jax.random.bernoulli(rng, keep_prob, h.shape)
+    return jnp.where(keep, h / keep_prob, 0.0)
+
+
 def rnn_scan(layers: list[dict], cell: str, x: jnp.ndarray,
              mask: jnp.ndarray, dtype, states: list | None = None,
-             return_states: bool = False, time_major: bool = False):
+             return_states: bool = False, time_major: bool = False,
+             dropout_rng: jax.Array | None = None, keep_prob: float = 1.0):
     """Stacked layers; returns top-layer hidden states [B, L, H]
     ([L, B, H] with time_major=True).
-    `states`: optional per-layer (h0, c0) carries (see layer_scan)."""
+    `states`: optional per-layer (h0, c0) carries (see layer_scan).
+    `dropout_rng`/`keep_prob`: recurrent output dropout per layer (ref:
+    --keep_prob wrapped cells in DropoutWrapper — see output_dropout)."""
     h = x
     new_states = []
     for li, p in enumerate(layers):
         st = states[li] if states is not None else None
         h, stT = layer_scan(p, cell, h, mask, dtype, state=st,
                             return_state=True, time_major=time_major)
-        new_states.append(stT)
+        new_states.append(stT)   # carry is pre-dropout (DropoutWrapper)
+        if dropout_rng is not None:
+            h = output_dropout(h, jax.random.fold_in(dropout_rng, li),
+                               keep_prob)
     if return_states:
         return h, new_states
     return h
@@ -292,22 +310,30 @@ def seq_hidden(params, spec: SeqSpec, item_dev, user_dev, batch,
     per-layer (h, c) carries — the temporal-pipelining hook (SURVEY.md §5
     "Long-context"): run segments of a long history through the same jitted
     graph, carrying state, instead of truncating at L."""
+    r_in = r_rnn = None
+    if dropout_rng is not None and spec.keep_prob < 1.0:
+        r_in, r_rnn = jax.random.split(dropout_rng)
+    elif dropout_rng is not None:
+        r_in = dropout_rng
     x = seq_inputs(params, spec, item_dev, user_dev, batch, lookup_fn,
-                   dropout_rng, lookup_fns, time_major=time_major)
+                   r_in, lookup_fns, time_major=time_major)
     mask = batch["mask"].T if time_major else batch["mask"]
     if spec.use_pallas_scan and spec.cell == "lstm":
         from arec.kernels.lstm_scan import pallas_lstm_scan
         return pallas_lstm_scan(params["rnn"], x, mask, dtype=spec.dtype,
                                 states=states, return_states=return_states,
-                                time_major=time_major)
+                                time_major=time_major, dropout_rng=r_rnn,
+                                keep_prob=spec.keep_prob)
     if spec.use_pallas_scan and spec.cell == "gru":
         from arec.kernels.gru_scan import pallas_gru_scan
         return pallas_gru_scan(params["rnn"], x, mask, dtype=spec.dtype,
                                states=states, return_states=return_states,
-                               time_major=time_major)
+                               time_major=time_major, dropout_rng=r_rnn,
+                               keep_prob=spec.keep_prob)
     return rnn_scan(params["rnn"], spec.cell, x, mask, spec.dtype,
                     states=states, return_states=return_states,
-                    time_major=time_major)
+                    time_major=time_major, dropout_rng=r_rnn,
+                    keep_prob=spec.keep_prob)
 
 
 def _pad_time_for_scan(spec: SeqSpec, batch: dict) -> dict:
@@ -418,18 +444,20 @@ def seq_loss(params, spec: SeqSpec, item_dev, user_dev, batch,
 
 def seq_final_state(params, spec: SeqSpec, item_dev, user_dev, batch,
                     lookup_fn=dense_lookup,
-                    states: list | None = None) -> jnp.ndarray:
+                    states: list | None = None,
+                    lookup_fns: dict | None = None) -> jnp.ndarray:
     """Recommend path (SURVEY.md §3.3): run the RNN over the user's full
     (truncated) history; with left-padding the state at the last position is
     the final state. `states` carries segment state for full-history eval
     (seq_final_state_full)."""
     h = seq_hidden(params, spec, item_dev, user_dev, batch, lookup_fn,
-                   states=states)
+                   states=states, lookup_fns=lookup_fns)
     return h[:, -1, :]
 
 
 def seq_final_state_full(params, spec: SeqSpec, item_dev, user_dev, batch,
-                         lookup_fn=dense_lookup) -> jnp.ndarray:
+                         lookup_fn=dense_lookup,
+                         lookup_fns: dict | None = None) -> jnp.ndarray:
     """Final state over a history of ANY length (SURVEY.md §5 temporal
     pipelining): batch["inputs"]/["mask"] are [B, n·L]; the scan runs in
     n segments of the jitted L-length graph, carrying (h, c). With
@@ -440,23 +468,31 @@ def seq_final_state_full(params, spec: SeqSpec, item_dev, user_dev, batch,
     n = total // L
     if n == 1:
         return seq_final_state(params, spec, item_dev, user_dev, batch,
-                               lookup_fn)
+                               lookup_fn, lookup_fns=lookup_fns)
     states = init_states(spec, batch["inputs"].shape[0])
     for s in range(n):
         seg = dict(batch)
         seg["inputs"] = batch["inputs"][:, s * L:(s + 1) * L]
         seg["mask"] = batch["mask"][:, s * L:(s + 1) * L]
         h, states = seq_hidden(params, spec, item_dev, user_dev, seg,
-                               lookup_fn, states=states, return_states=True)
+                               lookup_fn, states=states, return_states=True,
+                               lookup_fns=lookup_fns)
     return h[:, -1, :]
 
 
-def seq_item_latents(params, spec: SeqSpec, item_dev=None):
-    """Output-side item matrix + bias for full-softmax eval / retrieval."""
+def seq_item_latents(params, spec: SeqSpec, item_dev=None,
+                     lookup_fn=dense_lookup, out_lookup=None):
+    """Output-side item matrix + bias for full-softmax eval / retrieval.
+    `lookup_fn` serves the tie_output (fused-encoder) path; `out_lookup`
+    (when set) re-orders a shuffle-sharded item_out table back to natural
+    id order — None keeps the direct slice (natural layout)."""
     v, d = spec.vocab, spec.dim
     if spec.tie_output:
         from arec.tables.engine import encode_all_items_with_bias
         return encode_all_items_with_bias(params["item_in"], spec.item_in,
-                                          item_dev)
+                                          item_dev, lookup_fn=lookup_fn)
     t = params["item_out"]
+    if out_lookup is not None:
+        rows = out_lookup(t, jnp.arange(v, dtype=jnp.int32))
+        return rows[:, :d], rows[:, d]
     return t[:v, :d], t[:v, d]

@@ -93,9 +93,14 @@ def _local_score_topk(q, v_shard, b_shard, seen, k, compute_dtype,
         cv, ci = jax.lax.approx_max_k(scores, kb,
                                       recall_target=recall_target)
         gi = ci + offset
-        pos = jnp.minimum(jax.vmap(jnp.searchsorted)(sn, gi), s_width - 1)
-        hit = jnp.take_along_axis(sn, pos, axis=1) == gi
-        cv = jnp.where(hit, -jnp.inf, cv)
+        if s_width > 0:  # width-0 seen: searchsorted over a size-0 axis
+            pos = jnp.minimum(jax.vmap(jnp.searchsorted)(sn, gi), s_width - 1)
+            hit = jnp.take_along_axis(sn, pos, axis=1) == gi
+            # masked candidates lose their id too (sentinel -1): in the
+            # degenerate k > #unseen-on-shard case a seen id must not
+            # surface from the merge with a -inf score
+            cv = jnp.where(hit, -jnp.inf, cv)
+            gi = jnp.where(hit, -1, gi)
         tv, tp = jax.lax.top_k(cv, k)
         return None, (tv, jnp.take_along_axis(gi, tp, axis=1))
 
@@ -169,10 +174,12 @@ def blocked_topk_mips(query, item_latents, item_bias, seen, k: int = 30,
         else:
             cv, ci = jax.lax.approx_max_k(scores, kb,
                                           recall_target=recall_target)
-            pos = jnp.minimum(
-                jax.vmap(jnp.searchsorted)(sn, ci), s_width - 1)
-            hit = jnp.take_along_axis(sn, pos, axis=1) == ci
-            cv = jnp.where(hit, -jnp.inf, cv)
+            if s_width > 0:  # width-0 seen: nothing to mask
+                pos = jnp.minimum(
+                    jax.vmap(jnp.searchsorted)(sn, ci), s_width - 1)
+                hit = jnp.take_along_axis(sn, pos, axis=1) == ci
+                cv = jnp.where(hit, -jnp.inf, cv)
+                ci = jnp.where(hit, -1, ci)  # see _local_score_topk
             tv, tp = jax.lax.top_k(cv, k)
             ti = jnp.take_along_axis(ci, tp, axis=1)
         return None, (tv, ti)

@@ -486,6 +486,7 @@ def encode_all_items(
     spec: EncoderSpec,
     attr_dev: dict[str, jnp.ndarray],
     block: int = 8192,
+    lookup_fn: LookupFn = dense_lookup,
 ) -> jnp.ndarray:
     """All-item latent matrix V [num_items, D] for full-softmax eval and
     retrieval (SURVEY.md §3.3). Blocked with lax.map to bound peak memory on
@@ -495,7 +496,7 @@ def encode_all_items(
     ids = jnp.arange(nb * block, dtype=jnp.int32)
     ids = jnp.minimum(ids, n)  # tail pads encode to zero, trimmed below
     out = jax.lax.map(
-        lambda b: encode(params, spec, attr_dev, b),
+        lambda b: encode(params, spec, attr_dev, b, lookup_fn),
         ids.reshape(nb, block),
     )
     return out.reshape(nb * block, spec.dim)[:n]
@@ -506,6 +507,7 @@ def encode_all_items_with_bias(
     spec: EncoderSpec,
     attr_dev: dict[str, jnp.ndarray],
     block: int = 8192,
+    lookup_fn: LookupFn = dense_lookup,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(V [num_items, D], bias [num_items]) — with_bias counterpart of
     encode_all_items for full-softmax eval / retrieval."""
@@ -514,7 +516,7 @@ def encode_all_items_with_bias(
     ids = jnp.arange(nb * block, dtype=jnp.int32)
     ids = jnp.minimum(ids, n)
     v, b = jax.lax.map(
-        lambda blk: encode_with_bias(params, spec, attr_dev, blk),
+        lambda blk: encode_with_bias(params, spec, attr_dev, blk, lookup_fn),
         ids.reshape(nb, block),
     )
     return (v.reshape(nb * block, spec.dim)[:n],

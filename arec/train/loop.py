@@ -40,7 +40,11 @@ from arec.models import mf as mf_mod
 from arec.models import seq as seq_mod
 from arec.retrieval.mips import make_sharded_topk, pad_item_shards
 from arec.tables.engine import attrs_to_device, dense_lookup
-from arec.tables.sharded import make_sharded_lookup, pad_table_rows
+from arec.tables.layout import RowPerm
+from arec.tables.sharded import (
+    EXCHANGE_DROPS, make_perm_dense_lookup, make_sharded_lookup,
+    pad_table_rows,
+)
 from arec.train.checkpoint import Checkpointer, abstract_like
 from arec.train.evalu import recall_hits
 from arec.train.metrics import MetricLogger
@@ -68,14 +72,10 @@ class Trainer:
         self.ds = load_or_prepare(cfg.data)
         self.is_seq = cfg.model.model == "lstm"
 
-        # ---- mesh + lookup --------------------------------------------
+        # ---- mesh -------------------------------------------------------
         mcfg = cfg.mesh
         self.use_mesh = mcfg.data * mcfg.model > 1
         self.mesh = make_mesh(mcfg.data, mcfg.model) if self.use_mesh else None
-        if self.use_mesh and mcfg.lookup == "alltoall":
-            self.lookup = make_sharded_lookup(self.mesh, mcfg.capacity_factor)
-        else:
-            self.lookup = dense_lookup
 
         # ---- model ----------------------------------------------------
         key = jax.random.key(cfg.train.seed)
@@ -100,6 +100,41 @@ class Trainer:
             self.user_dev = attrs_to_device(
                 self.ds.user_attrs.restrict(self.spec.user.schema),
                 self.spec.user)
+
+        # ---- lookups (per-role; row_shard="shuffle" balances hot rows) --
+        # Each role's table gets its own exchange lookup because the shuffle
+        # permutation is table-specific (RowPerm over that table's gather
+        # region). eval_lookups are the single-gather (non-exchange)
+        # counterparts for the eval/recommend paths, which read the same
+        # stored layout.
+        self.perms: dict[str, RowPerm] = {}
+        self.lookups: dict = {}
+        self.eval_lookups: dict = {}
+        self._out_lookup = None
+        self.lookup = dense_lookup
+        if self.use_mesh and mcfg.lookup == "alltoall":
+            roles = self._table_roles()
+            if mcfg.row_shard == "shuffle":
+                for role, (rows, prefix) in roles.items():
+                    p = RowPerm.for_rows(rows, prefix)
+                    if p is not None:
+                        self.perms[role] = p
+            mk = lambda role: make_sharded_lookup(
+                self.mesh, mcfg.capacity_factor, dedup=mcfg.dedup,
+                perm=self.perms.get(role))
+            self.lookups = {r: mk(r) for r in roles}
+            self.lookup = make_sharded_lookup(
+                self.mesh, mcfg.capacity_factor, dedup=mcfg.dedup)
+            self.eval_lookups = {
+                r: (make_perm_dense_lookup(self.perms[r])
+                    if r in self.perms else dense_lookup)
+                for r in roles}
+            if "out" in self.perms:
+                self._out_lookup = make_perm_dense_lookup(self.perms["out"])
+        if self.perms:
+            # fresh-init tables → stored (shuffle) layout; checkpoints stay
+            # in NATURAL layout (see _canonical_state)
+            params = self._tree_permute(params)
 
         if self.use_mesh:
             params = _pad_params_tables(params, mcfg.model)
@@ -168,9 +203,63 @@ class Trainer:
         self._maybe_restore()
 
     # ------------------------------------------------------------------
+    def _table_roles(self) -> dict[str, tuple[int, int]]:
+        """Lookup roles → (total_rows, dense_prefix_rows) of their table.
+        Matches the lookup_fns contract of mf_loss/seq_loss ("user"/"item"/
+        "out")."""
+        if self.is_seq:
+            roles = {"item": (self.spec.item_in.total_rows,
+                              self.spec.item_in.dense_region_rows)}
+            if self.spec.user is not None:
+                roles["user"] = (self.spec.user.total_rows,
+                                 self.spec.user.dense_region_rows)
+            if not self.spec.tie_output:
+                roles["out"] = (self.spec.vocab + 1, 0)
+            return roles
+        return {"user": (self.spec.user.total_rows,
+                         self.spec.user.dense_region_rows),
+                "item": (self.spec.item.total_rows,
+                         self.spec.item.dense_region_rows)}
+
+    def _perm_for_path(self, path) -> RowPerm | None:
+        """RowPerm of the table (or optimizer-accumulator) leaf at `path`,
+        or None. Optimizer state mirrors the params tree, so the same key
+        test covers both (cf. arec.dist.specs._is_table_path)."""
+        keys = [getattr(p, "key", getattr(p, "name", None)) for p in path]
+        if "item_out" in keys:
+            return self.perms.get("out")
+        if "tables" not in keys:
+            return None
+        if "user" in keys:
+            return self.perms.get("user")
+        if "item" in keys or "item_in" in keys:
+            return self.perms.get("item")
+        return None
+
+    def _tree_permute(self, tree, inverse: bool = False):
+        """Rearrange every table-shaped leaf natural↔stored (shuffle)
+        layout. Whole-table gathers — init/checkpoint-boundary only."""
+        def f(path, leaf):
+            p = self._perm_for_path(path)
+            if p is None or getattr(leaf, "ndim", 0) != 2:
+                return leaf
+            return p.permute_table(leaf, inverse=inverse)
+        return jax.tree_util.tree_map_with_path(f, tree)
+
+    def _canonical_state(self, state):
+        """State with tables in NATURAL row order — the on-disk layout.
+        Shuffle-sharded runs un-permute here so a checkpoint restores onto
+        any mesh shape, row_shard mode, or single-device config
+        (arec/tables/layout.py docstring)."""
+        if not self.perms:
+            return state
+        return self._tree_permute(state, inverse=True)
+
+    # ------------------------------------------------------------------
     def _loss_fn(self):
         spec, item_dev, user_dev, lookup = (
             self.spec, self.item_dev, self.user_dev, self.lookup)
+        lookup_fns = self.lookups or None
         # the Pallas fused-CE kernel does not partition under GSPMD, so the
         # mesh path routes it through an inner shard_map (rows split over
         # every mesh axis — arec/kernels/sampled_softmax.py); the size
@@ -186,12 +275,14 @@ class Trainer:
         if self.is_seq:
             def loss_fn(p, batch, rng):
                 return seq_mod.seq_loss(p, spec, item_dev, user_dev, batch,
-                                        rng, lookup, mesh=mesh,
+                                        rng, lookup, lookup_fns=lookup_fns,
+                                        mesh=mesh,
                                         time_major=time_major, pop=pop)
         else:
             def loss_fn(p, batch, rng):
                 return mf_mod.mf_loss(p, spec, user_dev, item_dev, batch,
-                                      rng, lookup, mesh=mesh, pop=pop)
+                                      rng, lookup, lookup_fns=lookup_fns,
+                                      mesh=mesh, pop=pop)
         return loss_fn
 
     def _state_shardings(self, params):
@@ -250,15 +341,23 @@ class Trainer:
     def _item_latents(self, params=None):
         params = self._eval_params() if params is None else params
         if self.is_seq:
-            return seq_mod.seq_item_latents(params, self.spec, self.item_dev)
-        return mf_mod.mf_item_latents(params, self.spec, self.item_dev)
+            return seq_mod.seq_item_latents(
+                params, self.spec, self.item_dev,
+                lookup_fn=self.eval_lookups.get("item", dense_lookup),
+                out_lookup=self._out_lookup)
+        return mf_mod.mf_item_latents(
+            params, self.spec, self.item_dev,
+            lookup_fn=self.eval_lookups.get("item", dense_lookup))
 
     def _query_fn(self, params, batch):
         if self.is_seq:
             return seq_mod.seq_final_state_full(
-                params, self.spec, self.item_dev, self.user_dev, batch)
+                params, self.spec, self.item_dev, self.user_dev, batch,
+                lookup_fn=self.eval_lookups.get("item", dense_lookup),
+                lookup_fns=self.eval_lookups or None)
         return mf_mod.mf_user_latents(
-            params, self.spec, self.user_dev, batch["user"])
+            params, self.spec, self.user_dev, batch["user"],
+            lookup_fn=self.eval_lookups.get("user", dense_lookup))
 
     def _queries(self, batch):
         return self._query_fn(self._eval_params(), batch)
@@ -267,44 +366,67 @@ class Trainer:
         """Jitted per-batch eval step: queries → masked top-k → hit counts.
         Eager op-by-op eval pays per-dispatch latency on a remote TPU
         (~0.5 ms/op over the tunnel); one jit per fixed batch shape
-        removes it. Cached on (k,)."""
+        removes it. Cached on (k,).
+
+        On a mesh the top-k runs SHARDED (make_sharded_topk: each chip
+        scores its item shard, k·T-candidate exact merge) — the full [V, D]
+        latent matrix is never host-gathered or replicated
+        (SURVEY.md §2.3 "Full-softmax eval sharding"); the exact merge is
+        hit-for-hit equal to the single-device path
+        (tests/test_dist_e2e.py::test_trainer_mesh_eval_matches_dense)."""
         if getattr(self, "_eval_jit_k", None) != k:
-            def step(params, v, b, batch, seen):
-                q = self._query_fn(params, batch)
-                return recall_hits(q, v, b, seen, batch["pos_item"],
-                                   batch["valid"], k=k)
+            if self.use_mesh:
+                topk = make_sharded_topk(self.mesh, k=k,
+                                         compute_dtype=self.spec.dtype)
+
+                def step(params, v, b, batch, seen):
+                    q = self._query_fn(params, batch)
+                    _, ids = topk(q, v, b, seen)
+                    hit = (ids == batch["pos_item"][:, None]).any(
+                        axis=1).astype(jnp.float32)
+                    return (jnp.sum(hit * batch["valid"]),
+                            jnp.sum(batch["valid"]))
+            else:
+                def step(params, v, b, batch, seen):
+                    q = self._query_fn(params, batch)
+                    return recall_hits(q, v, b, seen, batch["pos_item"],
+                                       batch["valid"], k=k)
             self._eval_jit = jax.jit(step)
             self._eval_jit_k = k
         return self._eval_jit
 
     def _serve_step(self, k: int):
         """Jitted per-batch serving step: queries → (sharded) masked top-k.
-        Cached on (k,) like _eval_step — a fresh jit wrapper per
-        recommend() call would recompile every time."""
-        if getattr(self, "_serve_jit_k", None) != k:
+        Cached on (k, serve_recall_target) like _eval_step — a fresh jit
+        wrapper per recommend() call would recompile every time."""
+        target = self.cfg.train.serve_recall_target
+        if getattr(self, "_serve_jit_k", None) != (k, target):
             if self.use_mesh:
                 topk = make_sharded_topk(
                     self.mesh, k=k, compute_dtype=self.spec.dtype,
-                    recall_target=self.cfg.train.serve_recall_target)
+                    recall_target=target)
             else:
                 from arec.train.evalu import topk_with_mask
-                topk = partial(topk_with_mask, k=k,
-                               recall_target=self.cfg.train.serve_recall_target)
+                topk = partial(topk_with_mask, k=k, recall_target=target)
 
             def step(params, v, b, batch, seen):
                 q = self._query_fn(params, batch)
                 return topk(q, v, b, seen)
             self._serve_jit = jax.jit(step)
-            self._serve_jit_k = k
+            self._serve_jit_k = (k, target)
         return self._serve_jit
 
     def evaluate(self, k: int | None = None) -> float:
-        """Valid Recall@K with seen-item masking (SURVEY.md §3.3)."""
+        """Valid Recall@K with seen-item masking (SURVEY.md §3.3). On a
+        mesh the item matrix stays sharded end-to-end (see _eval_step)."""
         k = k or self.cfg.train.eval_topk
         params = self._eval_params()
         v, b = self._item_latents(params)
-        v, b = jax.device_get(v), jax.device_get(b)  # freeze for the sweep
-        v, b = jnp.asarray(v), jnp.asarray(b)
+        if self.use_mesh:
+            v, b = pad_item_shards(v, b, self.cfg.mesh.model)
+        else:
+            v, b = jax.device_get(v), jax.device_get(b)  # freeze for the sweep
+            v, b = jnp.asarray(v), jnp.asarray(b)
         step = self._eval_step(k)
         hits = total = 0.0
         L = self.spec.pack_len if self.is_seq else 0
@@ -353,6 +475,10 @@ class Trainer:
         got = self.ckpt.restore(target)
         if got is not None:
             self.state, data_pos, _ = got
+            if self.perms:
+                # disk layout is natural (see _canonical_state) → stored
+                self.state = self._tree_permute(self.state)
+                self.state = jax.device_put(self.state, self.state_sh)
             self.start_epoch = int(data_pos.get("epoch", 0))
             self.start_step_in_epoch = int(data_pos.get("step_in_epoch", 0))
             print(f"[ckpt] restored step {int(self.state.step)} "
@@ -396,19 +522,25 @@ class Trainer:
                 mean_loss = float(jnp.mean(jnp.stack(window)))
                 recall = self.evaluate()
                 best_recall = max(best_recall, recall)
+                extra = {}
+                if self.use_mesh and self.cfg.mesh.capacity_factor > 0:
+                    # overflowed exchange requests since the last checkpoint
+                    # (capacity_factor 0 is overflow-proof — no counter)
+                    jax.effects_barrier()
+                    extra["exchange_dropped"] = EXCHANGE_DROPS.read_and_reset()
                 self.metrics.log(
                     steps_done, loss=mean_loss,
                     recall_at_k=recall, lr=float(lr),
                     examples_per_s=ex_since / dt,
                     examples_per_s_per_chip=ex_since / dt
-                    / max(jax.device_count(), 1))
+                    / max(jax.device_count(), 1), **extra)
                 # plateau decay (ref: --learning_rate_decay_factor)
                 if mean_loss > prev_loss:
                     self.state = decay_lr(self.state, t.lr_decay)
                 prev_loss = mean_loss
                 window.clear()
                 ex_since, t_since = 0, time.time()
-                self.ckpt.save(steps_done, self.state,
+                self.ckpt.save(steps_done, self._canonical_state(self.state),
                                {"epoch": state["epoch"],
                                 "step_in_epoch": state["step_in_epoch"]},
                                self.cfg.to_json())
