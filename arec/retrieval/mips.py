@@ -51,6 +51,9 @@ def _local_score_topk(q, v_shard, b_shard, seen, k, compute_dtype,
     vs = v_shard.shape[0]
     shard_idx = jax.lax.axis_index(TABLE_AXIS)
     offset = shard_idx * vs
+    # a shard smaller than k can contribute at most vs candidates; the
+    # union of per-shard top-min(k, vs) still contains the global top-k
+    kl = min(k, vs)
 
     bl, d = q.shape
     s_width = seen.shape[1]
@@ -88,7 +91,7 @@ def _local_score_topk(q, v_shard, b_shard, seen, k, compute_dtype,
                 jnp.arange(qblock)[:, None], sn.shape)
             scores = scores.at[rows, jnp.clip(local, 0, vs - 1)].add(
                 jnp.where(mine, -1e9, 0.0))
-            tv, ti = jax.lax.top_k(scores, k)
+            tv, ti = jax.lax.top_k(scores, kl)
             return None, (tv, ti + offset)
         cv, ci = jax.lax.approx_max_k(scores, kb,
                                       recall_target=recall_target)
@@ -101,11 +104,11 @@ def _local_score_topk(q, v_shard, b_shard, seen, k, compute_dtype,
             # surface from the merge with a -inf score
             cv = jnp.where(hit, -jnp.inf, cv)
             gi = jnp.where(hit, -1, gi)
-        tv, tp = jax.lax.top_k(cv, k)
+        tv, tp = jax.lax.top_k(cv, kl)
         return None, (tv, jnp.take_along_axis(gi, tp, axis=1))
 
     _, (vals, ids) = jax.lax.scan(body, None, (qs, ss))
-    return vals.reshape(bp, k)[:bl], ids.reshape(bp, k)[:bl]
+    return vals.reshape(bp, kl)[:bl], ids.reshape(bp, kl)[:bl]
 
 
 @partial(jax.jit, static_argnames=("k", "qblock", "compute_dtype",
@@ -216,8 +219,17 @@ def make_sharded_topk(mesh: Mesh, k: int = 30, compute_dtype=jnp.bfloat16,
 
     def topk(query, item_latents, item_bias, seen):
         all_vals, all_ids = _local(query, item_latents, item_bias, seen)
-        m_vals, m_pos = jax.lax.top_k(all_vals, k)       # [B, T·k] → [B, k]
+        # [B, T·kl] → [B, min(k, T·kl)]; the candidate slab can be narrower
+        # than k only when the whole vocab is (degenerate small-V case) —
+        # pad to the [B, k] output contract with -inf/-1
+        km = min(k, all_vals.shape[1])
+        m_vals, m_pos = jax.lax.top_k(all_vals, km)
         m_ids = jnp.take_along_axis(all_ids, m_pos, axis=1)
+        if km < k:
+            m_vals = jnp.pad(m_vals, ((0, 0), (0, k - km)),
+                             constant_values=-jnp.inf)
+            m_ids = jnp.pad(m_ids, ((0, 0), (0, k - km)),
+                            constant_values=-1)
         return m_vals, m_ids
 
     return topk

@@ -50,7 +50,7 @@ from arec.train.evalu import recall_hits
 from arec.train.metrics import MetricLogger
 from arec.train.step import (
     TrainState, decay_lr, init_state, make_multi_step, make_optimizer,
-    make_train_step,
+    make_step_core, make_train_step, scan_multi,
 )
 
 
@@ -180,22 +180,29 @@ class Trainer:
                 self.step_fn = make_train_step(loss_fn, self.opt,
                                                cfg.train.learning_rate)
 
-        # K steps per dispatch (dense single-device path only; the sharded
-        # step is GSPMD-jitted with explicit shardings and the sparse step
-        # threads a packed state — both keep K=1)
+        # K steps per dispatch — supported on ALL paths: the dense
+        # single-device scan, the GSPMD-sharded scan (explicit state
+        # shardings carry through lax.scan), and the sparse packed-state
+        # scan. Step-for-step identical to K=1 (same per-step rng/order).
         self.dispatch_k = cfg.train.steps_per_dispatch
-        if self.dispatch_k > 1 and (self.use_mesh or self.sparse):
-            print("[config] steps_per_dispatch ignored on the "
-                  f"{'mesh' if self.use_mesh else 'sparse'} path", flush=True)
-            self.dispatch_k = 1
         if self.dispatch_k > 1:
             if cfg.train.steps_per_checkpoint % self.dispatch_k:
                 raise ValueError(
                     "steps_per_checkpoint must be a multiple of "
                     "steps_per_dispatch "
                     f"({cfg.train.steps_per_checkpoint} % {self.dispatch_k})")
-            self.multi_step_fn = make_multi_step(
-                self._loss_fn(), self.opt, cfg.train.learning_rate)
+            if self.sparse:
+                from arec.train.sparse import make_sparse_multi_step
+                self.multi_step_fn = make_sparse_multi_step(
+                    self.is_seq, self.spec, self.user_dev, self.item_dev,
+                    self.opt, cfg.train.learning_rate, cfg.train.optimizer,
+                    pop=self.pop)
+            elif self.use_mesh:
+                self.multi_step_fn = self._make_sharded_multi_step(
+                    self._loss_fn())
+            else:
+                self.multi_step_fn = make_multi_step(
+                    self._loss_fn(), self.opt, cfg.train.learning_rate)
 
         self.ckpt = Checkpointer(cfg.train.train_dir)
         self.metrics = MetricLogger(cfg.train.train_dir)
@@ -298,22 +305,27 @@ class Trainer:
             is_leaf=lambda x: isinstance(x, P))
 
     def _make_sharded_step(self, loss_fn):
-        base_lr = self.cfg.train.learning_rate
-        opt = self.opt
-
-        def step(state: TrainState, batch, rng):
-            loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
-            opt_state = state.opt_state
-            opt_state.hyperparams["learning_rate"] = base_lr * state.lr_scale
-            updates, opt_state = opt.update(grads, opt_state, state.params)
-            params = optax.apply_updates(state.params, updates)
-            new_state = TrainState(params, opt_state, state.lr_scale,
-                                   state.step + 1)
-            return new_state, {"loss": loss,
-                               "lr": base_lr * state.lr_scale}
-
+        """GSPMD-jitted step with explicit state shardings (grad_norm
+        skipped — a global_norm over row-sharded tables is an extra
+        cross-shard reduction of pure observability)."""
+        core = make_step_core(loss_fn, self.opt, self.cfg.train.learning_rate,
+                              with_grad_norm=False)
         return jax.jit(
-            step,
+            core,
+            in_shardings=(self.state_sh, None, None),
+            out_shardings=(self.state_sh, None),
+            donate_argnums=(0,),
+        )
+
+    def _make_sharded_multi_step(self, loss_fn):
+        """steps_per_dispatch > 1 on the mesh: lax.scan over the sharded
+        core with the same explicit shardings — batches arrive stacked
+        [K, ...] and each scanned step re-shards exactly like the single
+        step (parity: tests/test_multistep.py mesh case)."""
+        core = make_step_core(loss_fn, self.opt, self.cfg.train.learning_rate,
+                              with_grad_norm=False)
+        return jax.jit(
+            scan_multi(core),
             in_shardings=(self.state_sh, None, None),
             out_shardings=(self.state_sh, None),
             donate_argnums=(0,),

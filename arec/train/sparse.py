@@ -223,7 +223,7 @@ def unpack_params(params, paths):
     return out
 
 
-def make_sparse_train_step(
+def make_sparse_step_core(
     is_seq: bool,
     spec,
     user_dev,
@@ -233,10 +233,11 @@ def make_sparse_train_step(
     optimizer: str,
     pop=None,                    # (cdf, probs) — sampler="pop" proposal
 ) -> Callable:
-    """Returns jitted step(state, batch, rng) -> (state, metrics), parity-
-    equal to arec.train.step.make_train_step but with O(touched·D) table
+    """Un-jitted step(state, batch, rng) -> (state, metrics), parity-
+    equal to arec.train.step.make_step_core but with O(touched·D) table
     updates. Single-device path (the mesh path keeps dense updates — its
-    tables are already sharded V/T per chip)."""
+    tables are already sharded V/T per chip). Jitted by
+    make_sparse_train_step; K-step-scanned by make_sparse_multi_step."""
     if optimizer not in ("adagrad", "sgd"):
         raise ValueError(
             f"sparse_update supports adagrad/sgd, not {optimizer!r}")
@@ -326,4 +327,20 @@ def make_sparse_train_step(
         )
         return new_state, {"loss": loss, "lr": lr}
 
-    return jax.jit(step, donate_argnums=(0,))
+    return step
+
+
+def make_sparse_train_step(*args, **kwargs) -> Callable:
+    """Jitted single sparse step (see make_sparse_step_core)."""
+    return jax.jit(make_sparse_step_core(*args, **kwargs),
+                   donate_argnums=(0,))
+
+
+def make_sparse_multi_step(*args, **kwargs) -> Callable:
+    """K sparse steps per dispatch (steps_per_dispatch > 1): one lax.scan
+    over the sparse core — same launch-latency amortization as
+    arec.train.step.make_multi_step, step-for-step identical to K single
+    sparse steps (same rng protocol, same touched-row updates)."""
+    from arec.train.step import scan_multi
+    return jax.jit(scan_multi(make_sparse_step_core(*args, **kwargs)),
+                   donate_argnums=(0,))

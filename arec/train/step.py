@@ -57,9 +57,12 @@ def make_step_core(
     loss_fn: Callable[..., jnp.ndarray],
     opt: optax.GradientTransformation,
     base_lr: float,
+    with_grad_norm: bool = True,
 ) -> Callable:
     """The pure (un-jitted) step: loss_fn(params, batch, rng) -> scalar,
-    returns step(state, batch, rng) -> (state, metrics)."""
+    returns step(state, batch, rng) -> (state, metrics).
+    with_grad_norm=False skips the global_norm reduction over every
+    parameter (the mesh path's choice — it is pure observability)."""
 
     def step(state: TrainState, batch, rng):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
@@ -68,10 +71,11 @@ def make_step_core(
         opt_state.hyperparams["learning_rate"] = base_lr * state.lr_scale
         updates, opt_state = opt.update(grads, opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        gnorm = optax.global_norm(grads)
         new_state = TrainState(params, opt_state, state.lr_scale, state.step + 1)
-        return new_state, {"loss": loss, "grad_norm": gnorm,
-                           "lr": base_lr * state.lr_scale}
+        metrics = {"loss": loss, "lr": base_lr * state.lr_scale}
+        if with_grad_norm:
+            metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
 
     return step
 
@@ -87,6 +91,24 @@ def make_train_step(
                    donate_argnums=(0,) if donate else ())
 
 
+def scan_multi(core: Callable) -> Callable:
+    """Wrap any step core (state, batch, rng) -> (state, metrics) into
+    multi(state, batches, rngs) scanning a leading K axis: one lax.scan =
+    one XLA program = one host→device dispatch. Metrics come back as [K]
+    arrays."""
+
+    def multi(state: TrainState, batches, rngs):
+        def body(st, inp):
+            b, r = inp
+            st, m = core(st, b, r)
+            return st, m
+
+        state, ms = jax.lax.scan(body, state, (batches, rngs))
+        return state, ms
+
+    return multi
+
+
 def make_multi_step(
     loss_fn: Callable[..., jnp.ndarray],
     opt: optax.GradientTransformation,
@@ -99,19 +121,11 @@ def make_multi_step(
     launch latency (measured ~0.6 ms/step over a remote-TPU tunnel, ~25% of
     step time at batch 16k) is amortized K-fold. Step-for-step identical to
     K calls of make_train_step: same rng per global step, same update
-    order — so checkpoints/resume/metrics are unaffected."""
-    core = make_step_core(loss_fn, opt, base_lr)
-
-    def multi(state: TrainState, batches, rngs):
-        def body(st, inp):
-            b, r = inp
-            st, m = core(st, b, r)
-            return st, m
-
-        state, ms = jax.lax.scan(body, state, (batches, rngs))
-        return state, ms   # each metric is a [K] array
-
-    return jax.jit(multi, donate_argnums=(0,) if donate else ())
+    order — so checkpoints/resume/metrics are unaffected. Mesh/sparse
+    counterparts: Trainer._make_sharded_multi_step,
+    arec.train.sparse.make_sparse_multi_step."""
+    return jax.jit(scan_multi(make_step_core(loss_fn, opt, base_lr)),
+                   donate_argnums=(0,) if donate else ())
 
 
 def decay_lr(state: TrainState, factor: float) -> TrainState:
