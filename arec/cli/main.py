@@ -44,7 +44,50 @@ def parse_args(argv=None):
                     help="skip training; restore + emit top-K lists")
     ap.add_argument("--out", default="",
                     help="submission-style output path for --recommend")
+    ap.add_argument("--validate-prep", action="store_true",
+                    help="prepare (or load cached) dataset, print its "
+                         "deterministic summary, and compare against the "
+                         "golden contract in <data_dir>/golden_<dataset>"
+                         ".json if present (exit 1 on drift)")
+    ap.add_argument("--write-golden", action="store_true",
+                    help="with --validate-prep: record the current summary "
+                         "as the golden contract")
     return ap.parse_args(argv)
+
+
+def validate_prep(cfg, write_golden: bool) -> int:
+    """Prep-output contract check (arec/data/validate.py)."""
+    import os
+
+    from arec.data.io import load_or_prepare
+    from arec.data.validate import diff_summaries, prep_summary, summary_digest
+
+    ds = load_or_prepare(cfg.data)
+    ds.validate()
+    summary = prep_summary(ds)
+    print(json.dumps({"digest": summary_digest(summary), **summary},
+                     indent=2, sort_keys=True))
+    golden_path = os.path.join(cfg.data.data_dir,
+                               f"golden_{cfg.data.dataset}.json")
+    if write_golden:
+        os.makedirs(cfg.data.data_dir, exist_ok=True)
+        with open(golden_path, "w") as f:
+            json.dump(summary, f, indent=2, sort_keys=True)
+        print(f"[golden] wrote {golden_path}", file=sys.stderr)
+        return 0
+    if os.path.exists(golden_path):
+        with open(golden_path) as f:
+            golden = json.load(f)
+        drift = diff_summaries(golden, summary)
+        if drift:
+            for line in drift:
+                print(f"[golden] DRIFT {line}", file=sys.stderr)
+            return 1
+        print(f"[golden] matches {golden_path}", file=sys.stderr)
+    else:
+        print(f"[golden] no contract at {golden_path} (use --write-golden)",
+              file=sys.stderr)
+    return 0
 
 
 def load_config(args):
@@ -65,6 +108,8 @@ def load_config(args):
 def main(argv=None):
     args = parse_args(argv)
     cfg = load_config(args)
+    if args.validate_prep:
+        return validate_prep(cfg, args.write_golden)
     from arec.train.loop import Trainer
     trainer = Trainer(cfg)
     if args.recommend:

@@ -95,6 +95,11 @@ class TrainConfig:
     compute_dtype: str = "bfloat16"  # matmul input dtype; params stay fp32
     sparse_update: bool = False # touched-rows-only table updates (big-vocab
                                 # fast path; single-device, adagrad/sgd)
+    compact_table_grads: bool = False  # sort+unique request ids per lookup
+                                # so table-grad scatters see collision-free
+                                # sorted indices (engine.make_compact_lookup)
+                                # — single-device dense path; A/B'd per
+                                # shape in BASELINE.md
     steps_per_dispatch: int = 1 # K optimizer steps per device dispatch
                                 # (lax.scan inside one jit) — amortizes
                                 # host→device launch latency; step-for-step

@@ -262,6 +262,44 @@ def dense_lookup(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     return jnp.take(table, ids, axis=0, mode="clip")
 
 
+def make_compact_lookup() -> LookupFn:
+    """Gradient-compacting lookup (TrainConfig.compact_table_grads): sort +
+    unique the request ids, gather UNIQUE rows with the sorted/unique XLA
+    hints, broadcast back through the inverse map.
+
+    Forward result is bit-identical to dense_lookup. The point is the
+    BACKWARD shape: the inverse-map transpose segment-sums duplicate-id
+    cotangents into a compact [n, D] buffer, and the table scatter-add then
+    sees sorted, collision-free indices (unique_indices=True,
+    indices_are_sorted=True) — the "in-step unique + segment-sum grad
+    compaction feeding one conflict-free scatter" attack on the table-grad
+    frontier (BASELINE.md xplane section: scatters are 27%/24% of the
+    flagship MF/LSTM steps, with ~3× duplication at the LSTM shape).
+    Costs one sort of the id vector per lookup call; A/B against the plain
+    path on the real chip is recorded in BASELINE.md (tools/ab_compact.py),
+    and the plain path stays the default where it wins."""
+    def lookup(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+        flat = ids.reshape(-1)
+        n = flat.shape[0]
+        total = table.shape[0]
+        order = jnp.argsort(flat)
+        s = flat[order]
+        first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
+        slot = jnp.cumsum(first) - 1
+        # trailing slots → OOB sentinel: gather zero-fills them and their
+        # scatter-transpose DROPS (never aliases a real row — an in-range
+        # sentinel would violate the unique_indices contract)
+        uniq = jnp.full((n,), total, flat.dtype).at[slot].set(s)
+        inv = jnp.zeros((n,), jnp.int32).at[order].set(
+            slot.astype(jnp.int32))
+        rows_u = table.at[uniq].get(mode="fill", fill_value=0,
+                                    unique_indices=True,
+                                    indices_are_sorted=True)
+        return jnp.take(rows_u, inv, axis=0).reshape(
+            *ids.shape, table.shape[1])
+    return lookup
+
+
 def encode(
     params: Params,
     spec: EncoderSpec,

@@ -131,6 +131,9 @@ class Trainer:
                 for r in roles}
             if "out" in self.perms:
                 self._out_lookup = make_perm_dense_lookup(self.perms["out"])
+        elif cfg.train.compact_table_grads and not self.use_mesh:
+            from arec.tables.engine import make_compact_lookup
+            self.lookup = make_compact_lookup()
         if self.perms:
             # fresh-init tables → stored (shuffle) layout; checkpoints stay
             # in NATURAL layout (see _canonical_state)

@@ -37,6 +37,40 @@ BATCH = 16384          # MF batch (saturates the chip)
 SB, L = 2048, 30       # LSTM batch / sequence length
 CHIPS = max(jax.local_device_count(), 1)
 
+# Roofline peaks (per chip). "Speed-of-light" accounting (BASELINE.json:5):
+# every throughput record carries mfu / membw_frac so ex/s can be judged
+# against the chip bound, not vibes. FLOP counts come from XLA's own
+# cost_analysis (2 flops per MAC, dtype-blind), so mfu is measured against
+# the bf16 MXU peak — the dtype our matmuls run in; a pure-f32 config would
+# read ~2× optimistic. membw_frac uses XLA "bytes accessed", which counts
+# logical operand traffic (an upper bound on HBM when ops fuse, a lower
+# bound when tiling re-reads) — treat ~1.0 as "bandwidth-bound", not as an
+# exact occupancy.
+V5E_PEAK_BF16_FLOPS = 197e12
+V5E_HBM_BYTES_S = 819e9
+
+
+def roofline_fields(step, args, dt_step_s: float) -> dict:
+    """mfu / membw_frac / step_ms for a jitted step at `args` shapes.
+    Lowering hits the jit trace cache (same avals as the benched calls);
+    cost_analysis is best-effort — absent on backends that don't report."""
+    out = {"step_ms": round(dt_step_s * 1e3, 3)}
+    try:
+        ca = step.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        byts = float(ca.get("bytes accessed", 0.0))
+        if flops > 0:
+            out["mfu"] = round(flops / dt_step_s / V5E_PEAK_BF16_FLOPS, 4)
+            out["flops_per_step"] = flops
+        if byts > 0:
+            out["membw_frac"] = round(byts / dt_step_s / V5E_HBM_BYTES_S, 4)
+            out["bytes_per_step"] = byts
+    except Exception as e:  # cost model unavailable on this backend
+        out["roofline_error"] = repr(e)[:80]
+    return out
+
 
 def want(section: str) -> bool:
     return _ONLY is None or section in _ONLY
@@ -130,7 +164,9 @@ def bench_mf(out, ds, opt):
     _record(out, metric="mf_train_examples_per_s_per_chip",
             value=round(BATCH * ITERS / dt / CHIPS, 1),
             unit="examples/s/chip",
-            config="attr-aware MF dim64 S1024 batch16384")
+            config="attr-aware MF dim64 S1024 batch16384",
+            **roofline_fields(step, (state, ring[0], jax.random.key(1)),
+                              dt / ITERS))
     return state, spec, item_dev
 
 
@@ -160,7 +196,9 @@ def bench_lstm(out, ds, opt):
     dt, sstate = _bench_steps(sstep, sstate, sring, jax.random.key(2))
     _record(out, metric="lstm_train_examples_per_s_per_chip",
             value=round(SB * ITERS / dt / CHIPS, 1), unit="examples/s/chip",
-            config=f"attr-aware LSTM dim64 L{L} S1024 batch{SB} pallas")
+            config=f"attr-aware LSTM dim64 L{L} S1024 batch{SB} pallas",
+            **roofline_fields(sstep, (sstate, sring[0], jax.random.key(2)),
+                              dt / ITERS))
     _record(out, metric="lstm_train_positions_per_s_per_chip",
             value=round(SB * L * ITERS / dt / CHIPS, 1),
             unit="positions/s/chip", config="same")
@@ -213,7 +251,9 @@ def bench_mf_bigvocab(out, opt, nu=1_000_000, ni=300_000, batch=None,
         _record(out, metric=f"mf_bigvocab_{mode}_examples_per_s_per_chip",
                 value=round(batch * (iters or ITERS) / dt / CHIPS, 1),
                 unit="examples/s/chip",
-                config=f"ID-only MF U={NU} V={NI} dim64 S1024 batch{batch}")
+                config=f"ID-only MF U={NU} V={NI} dim64 S1024 batch{batch}",
+                **roofline_fields(step, (state, ring[0], jax.random.key(4)),
+                                  dt / (iters or ITERS)))
         del state, step, params
 
 
@@ -265,7 +305,9 @@ def bench_lstm_bigvocab(out, opt, ni=300_000, batch=None, iters=None):
         _record(out, metric=f"lstm_bigvocab_{mode}_seqs_per_s_per_chip",
                 value=round(batch * (iters or ITERS) / dt / CHIPS, 1),
                 unit="sequences/s/chip",
-                config=f"ID-only LSTM V={NIL} dim64 L{L} S1024 batch{batch}")
+                config=f"ID-only LSTM V={NIL} dim64 L{L} S1024 batch{batch}",
+                **roofline_fields(step, (state, ring[0], jax.random.key(5)),
+                                  dt / (iters or ITERS)))
         del state, step, params
 
 
@@ -279,10 +321,12 @@ def bench_retrieval(out, ds, mf_result):
     QB = 4096
     q = jax.random.normal(jax.random.key(3), (QB, spec.user.dim))
     seen = jnp.asarray(ds.seen_items[:QB])
-    dt = _bench_queries(lambda: topk_with_mask(q, v, bias, seen, k=30))
+    tk = jax.jit(lambda: topk_with_mask(q, v, bias, seen, k=30))
+    dt = _bench_queries(tk)
     _record(out, metric="retrieval_top30_qps",
             value=round(QB * ITERS / dt, 1), unit="queries/s",
-            config=f"V={ds.num_items} dim64 batch{QB} seen-masked")
+            config=f"V={ds.num_items} dim64 batch{QB} seen-masked",
+            **roofline_fields(tk, (), dt / ITERS))
 
 
 def bench_retrieval_bigvocab(out):
@@ -300,11 +344,13 @@ def bench_retrieval_bigvocab(out):
     q = jax.random.normal(jax.random.fold_in(kv, 2), (QB, D), jnp.float32)
     seen = jax.random.randint(jax.random.fold_in(kv, 3), (QB, SW), 0, V)
     for mode, rt in (("exact", 1.0), ("approx95", 0.95)):
-        dt = _bench_queries(lambda: blocked_topk_mips(
+        tk = jax.jit(lambda rt=rt: blocked_topk_mips(
             q, v, bias, seen, k=30, recall_target=rt))
+        dt = _bench_queries(tk)
         _record(out, metric=f"retrieval_bigvocab_top30_{mode}_qps",
                 value=round(QB * ITERS / dt, 1), unit="queries/s",
-                config=f"V={V} dim{D} batch{QB} seen{SW} query-blocked")
+                config=f"V={V} dim{D} batch{QB} seen{SW} query-blocked",
+                **roofline_fields(tk, (), dt / ITERS))
 
 
 def main():

@@ -181,3 +181,23 @@ def test_identity_contract_enforced():
     )
     with pytest.raises(AssertionError, match="identity"):
         attrs_to_device(bad, spec)
+
+
+def test_compact_lookup_matches_dense_forward_and_grad():
+    """engine.make_compact_lookup (TrainConfig.compact_table_grads) must be
+    value- and gradient-identical to dense_lookup under heavy duplication
+    (the whole point is reshaping the BACKWARD scatter, not the math)."""
+    from arec.tables.engine import dense_lookup, make_compact_lookup
+    rng = np.random.default_rng(0)
+    V, D, N = 97, 8, 400
+    table = jnp.asarray(rng.normal(size=(V, D)), jnp.float32)
+    ids = jnp.asarray(np.minimum(rng.zipf(1.3, N) - 1, V - 1)
+                      .astype(np.int32)).reshape(40, 10)
+    compact = make_compact_lookup()
+    np.testing.assert_array_equal(np.asarray(compact(table, ids)),
+                                  np.asarray(dense_lookup(table, ids)))
+    w = jnp.asarray(rng.normal(size=(40, 10, D)), jnp.float32)
+    g0 = jax.grad(lambda t: jnp.sum(dense_lookup(t, ids) * w))(table)
+    g1 = jax.jit(jax.grad(lambda t: jnp.sum(compact(t, ids) * w)))(table)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-6, atol=1e-6)
