@@ -100,6 +100,9 @@ class TrainConfig:
                                 # sorted indices (engine.make_compact_lookup)
                                 # — single-device dense path; A/B'd per
                                 # shape in BASELINE.md
+    tensorboard: bool = False   # also stream step metrics to a TensorBoard
+                                # event file under train_dir/tb (torch
+                                # SummaryWriter; JSONL stays the primary log)
     steps_per_dispatch: int = 1 # K optimizer steps per device dispatch
                                 # (lax.scan inside one jit) — amortizes
                                 # host→device launch latency; step-for-step

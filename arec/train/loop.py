@@ -208,7 +208,8 @@ class Trainer:
                     self._loss_fn(), self.opt, cfg.train.learning_rate)
 
         self.ckpt = Checkpointer(cfg.train.train_dir)
-        self.metrics = MetricLogger(cfg.train.train_dir)
+        self.metrics = MetricLogger(cfg.train.train_dir,
+                                    tensorboard=cfg.train.tensorboard)
         self.start_epoch = 0
         self._maybe_restore()
 

@@ -3,7 +3,10 @@
 The reference printed loss/recall to stdout (SURVEY.md §5 "Metrics"); here
 every scalar goes to (a) stdout in a compact line and (b) a JSONL stream in
 train_dir — the graded counters (examples/s/chip, Recall@30, scaling
-efficiency; BASELINE.json:2) all flow through this.
+efficiency; BASELINE.json:2) all flow through this. With
+`train.tensorboard=true` the same scalars additionally stream to a
+TensorBoard event file under train_dir/tb (torch's SummaryWriter — no TF
+dependency; imported lazily because the import costs ~10 s).
 """
 
 from __future__ import annotations
@@ -14,16 +17,30 @@ import time
 
 
 class MetricLogger:
-    def __init__(self, train_dir: str, filename: str = "metrics.jsonl"):
+    def __init__(self, train_dir: str, filename: str = "metrics.jsonl",
+                 tensorboard: bool = False):
         os.makedirs(train_dir, exist_ok=True)
         self._f = open(os.path.join(train_dir, filename), "a", buffering=1)
         self._t0 = time.time()
+        self._tb_dir = os.path.join(train_dir, "tb") if tensorboard else None
+        self._tb = None
+
+    def _tb_writer(self):
+        if self._tb is None and self._tb_dir is not None:
+            from torch.utils.tensorboard import SummaryWriter
+            self._tb = SummaryWriter(log_dir=self._tb_dir)
+        return self._tb
 
     def log(self, step: int, **scalars) -> None:
         rec = {"step": int(step), "t": round(time.time() - self._t0, 3)}
         rec.update({k: (float(v) if hasattr(v, "__float__") else v)
                     for k, v in scalars.items()})
         self._f.write(json.dumps(rec) + "\n")
+        tb = self._tb_writer()
+        if tb is not None:
+            for k, v in rec.items():
+                if k not in ("step", "t") and isinstance(v, (int, float)):
+                    tb.add_scalar(k, v, global_step=rec["step"])
         parts = " ".join(
             f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}"
             for k, v in rec.items() if k not in ("t",))
@@ -31,3 +48,6 @@ class MetricLogger:
 
     def close(self):
         self._f.close()
+        if self._tb is not None:
+            self._tb.close()
+            self._tb = None
