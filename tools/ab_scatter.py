@@ -76,20 +76,23 @@ def main():
         update_window_dims=(1,), inserted_window_dims=(0,),
         scatter_dims_to_operand_dims=(0,))
 
-    def base(dout, ids):
+    # NB: `zeros` is passed as an argument everywhere — closing over a [V, D]
+    # device array inlines it into the HLO and the remote axon compile dies
+    # with HTTP 413 / hangs (CLAUDE.md gotcha; this bit the first version).
+    def base(zeros, dout, ids):
         return jax.lax.scatter_add(zeros, ids[:, None], dout, dn)
 
-    def presort(dout, ids):
+    def presort(zeros, dout, ids):
         return jax.lax.scatter_add(zeros, ids[:, None], dout, dn,
                                    indices_are_sorted=True)
 
-    def sorted_(dout, ids):
+    def sorted_(zeros, dout, ids):
         si, perm = jax.lax.sort_key_val(ids, jnp.arange(B, dtype=jnp.int32))
         du = jnp.take(dout, perm, axis=0)
         return jax.lax.scatter_add(zeros, si[:, None], du, dn,
                                    indices_are_sorted=True)
 
-    def segsum(dout, ids):
+    def segsum(zeros, dout, ids):
         si, perm = jax.lax.sort_key_val(ids, jnp.arange(B, dtype=jnp.int32))
         du = jnp.take(dout, perm, axis=0)
         first = jnp.concatenate(
@@ -110,17 +113,18 @@ def main():
     for name, fn, a in [("base", base, (dout, ids)),
                         ("sorted", sorted_, (dout, ids)),
                         ("segsum", segsum, (dout, ids))]:
-        got = np.asarray(jax.jit(fn)(*a))
+        got = np.asarray(jax.jit(fn)(zeros, *a))
         err = np.abs(got - ref).max()
         assert err < 1e-3, (name, err)
+        print(f"{name}: correctness ok (max err {err:.2e})", flush=True)
 
-    print(f"V={V} D={D} B={B} unique={uniq}")
+    print(f"V={V} D={D} B={B} unique={uniq}", flush=True)
     for name, fn, a in [("base   ", base, (dout, ids)),
                         ("presort", presort, (dout, ids_sorted)),
                         ("sorted ", sorted_, (dout, ids)),
                         ("segsum ", segsum, (dout, ids))]:
-        ms = timeit(fn, a) * 1e3
-        print(f"{name}: {ms:.3f} ms")
+        ms = timeit(fn, (zeros,) + a) * 1e3
+        print(f"{name}: {ms:.3f} ms", flush=True)
 
 
 if __name__ == "__main__":
