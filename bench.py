@@ -36,9 +36,11 @@ from arec.train.step import init_state, make_multi_step, make_optimizer
 # fused-CE kernel auto-enables (arec/losses/losses.py _KERNEL_MIN_ROWS)
 # for another +15%: 4.14M. 32768 is the sweet spot.
 BATCH = 32768
-K = 4          # steps per dispatch (train.steps_per_dispatch): one lax.scan
-               # jit per K steps removes the ~0.6 ms/step launch latency of
-               # the remote-TPU tunnel
+K = 16         # steps per dispatch (train.steps_per_dispatch): one lax.scan
+               # jit per K steps amortizes the tunnel's per-dispatch fixed
+               # overhead (measured 0.6-11 ms depending on tunnel load).
+               # Interleaved A/B (tools/ab_k.py, BASELINE.md): K=16 sustains
+               # 12.85M ex/s vs 7.04M at K=4 under an 11 ms-overhead tunnel
 WARMUP, STEPS = 2, 12  # in units of K-step dispatches
 
 
