@@ -35,7 +35,32 @@ for _i, _a in enumerate(sys.argv):
 ITERS = 10 if QUICK else 50
 BATCH = 16384          # MF batch (saturates the chip)
 SB, L = 2048, 30       # LSTM batch / sequence length
+KDISP = 8              # optimizer steps per dispatch in the flagship train
+                       # sections (lax.scan; tools/ab_k.py A/B — the remote
+                       # tunnel's per-dispatch overhead swings 0.6-11 ms)
 CHIPS = max(jax.local_device_count(), 1)
+
+
+def _ms_last(res):
+    """Adapt make_multi_step's per-step stacked metrics to the single-step
+    (state, metrics) contract _bench_steps expects."""
+    st, ms = res
+    return st, {k: v[-1] for k, v in ms.items()}
+
+
+def _stack_ring(batch_iter, k, nblocks):
+    """Stack k host batches per dispatch block, up to nblocks blocks."""
+    blocks, cur = [], []
+    for b in batch_iter:
+        cur.append(b)
+        if len(cur) == k:
+            blocks.append({key: jnp.stack([jnp.asarray(x[key]) for x in cur])
+                           for key in cur[0]})
+            cur = []
+        if len(blocks) == nblocks:
+            break
+    assert blocks, "dataset too small for one dispatch block"
+    return blocks
 
 # Roofline peaks (per chip). "Speed-of-light" accounting (BASELINE.json:5):
 # every throughput record carries mfu / membw_frac so ex/s can be judged
@@ -142,7 +167,7 @@ def bench_mf(out, ds, opt):
     from arec.data.dataset import mf_batches
     from arec.models.mf import MFSpec, init_mf, mf_loss
     from arec.tables.engine import attrs_to_device
-    from arec.train.step import init_state, make_train_step
+    from arec.train.step import init_state, make_multi_step
 
     cfg = Config(model=ModelConfig(model="mf", dim=64, use_attributes=True),
                  train=TrainConfig(num_sampled=1024))
@@ -153,20 +178,24 @@ def bench_mf(out, ds, opt):
                                spec.item)
     params = init_mf(jax.random.key(0), spec)
     state = init_state(params, opt)
-    step = make_train_step(
+    multi = make_multi_step(
         lambda p, b, r: mf_loss(p, spec, user_dev, item_dev, b, r), opt, 0.3)
-    ring = []
-    for i, b in enumerate(mf_batches(ds, BATCH, 0, 0)):
-        ring.append({k: jnp.asarray(v) for k, v in b.items()})
-        if i >= 7:
-            break
+    # K-scan dispatch (see bench.py / tools/ab_k.py): the tunnel's fixed
+    # per-dispatch overhead swings 0.6-11 ms, so unamortized single-step
+    # dispatch makes the record hostage to tunnel load
+    step = lambda st, blk, r: _ms_last(multi(st, blk, jax.random.split(
+        r, KDISP)))
+    ring = _stack_ring(mf_batches(ds, BATCH, 0, 0), KDISP, 2)
     dt, state = _bench_steps(step, state, ring, jax.random.key(1))
     _record(out, metric="mf_train_examples_per_s_per_chip",
-            value=round(BATCH * ITERS / dt / CHIPS, 1),
+            value=round(BATCH * KDISP * ITERS / dt / CHIPS, 1),
             unit="examples/s/chip",
-            config="attr-aware MF dim64 S1024 batch16384",
-            **roofline_fields(step, (state, ring[0], jax.random.key(1)),
-                              dt / ITERS))
+            config=f"attr-aware MF dim64 S1024 batch16384 K{KDISP}",
+            **roofline_fields(
+                multi,
+                (state, ring[0], jax.random.split(jax.random.key(1), KDISP)),
+                dt / ITERS / KDISP))  # cost_analysis reports the scan BODY
+                                      # (one step), so pair with per-step time
     return state, spec, item_dev
 
 
@@ -175,7 +204,7 @@ def bench_lstm(out, ds, opt):
     from arec.data.dataset import seq_batches
     from arec.models.seq import SeqSpec, init_seq, seq_loss
     from arec.tables.engine import attrs_to_device
-    from arec.train.step import init_state, make_train_step
+    from arec.train.step import init_state, make_multi_step
 
     cfg = Config(model=ModelConfig(model="lstm", dim=64, use_attributes=True,
                                    max_seq_len=L, use_pallas_scan=True),
@@ -185,22 +214,24 @@ def bench_lstm(out, ds, opt):
         ds.item_attrs.restrict(sspec.item_in.schema), sspec.item_in)
     sparams = init_seq(jax.random.key(0), sspec)
     sstate = init_state(sparams, opt)
-    sstep = make_train_step(
+    smulti = make_multi_step(
         lambda p, b, r: seq_loss(p, sspec, sitem_dev, None, b, r,
                                  time_major=True), opt, 0.3)
-    sring = []
-    for i, b in enumerate(seq_batches(ds, SB, L, 0, 0)):
-        sring.append({k: jnp.asarray(v) for k, v in b.items()})
-        if i >= 7:
-            break
+    sstep = lambda st, blk, r: _ms_last(smulti(st, blk, jax.random.split(
+        r, KDISP)))
+    sring = _stack_ring(seq_batches(ds, SB, L, 0, 0), KDISP, 2)
     dt, sstate = _bench_steps(sstep, sstate, sring, jax.random.key(2))
     _record(out, metric="lstm_train_examples_per_s_per_chip",
-            value=round(SB * ITERS / dt / CHIPS, 1), unit="examples/s/chip",
-            config=f"attr-aware LSTM dim64 L{L} S1024 batch{SB} pallas",
-            **roofline_fields(sstep, (sstate, sring[0], jax.random.key(2)),
-                              dt / ITERS))
+            value=round(SB * KDISP * ITERS / dt / CHIPS, 1),
+            unit="examples/s/chip",
+            config=f"attr-aware LSTM dim64 L{L} S1024 batch{SB} pallas "
+                   f"K{KDISP}",
+            **roofline_fields(
+                smulti,
+                (sstate, sring[0], jax.random.split(jax.random.key(2), KDISP)),
+                dt / ITERS / KDISP))  # scan-body flops ↔ per-step time
     _record(out, metric="lstm_train_positions_per_s_per_chip",
-            value=round(SB * L * ITERS / dt / CHIPS, 1),
+            value=round(SB * L * KDISP * ITERS / dt / CHIPS, 1),
             unit="positions/s/chip", config="same")
 
 
