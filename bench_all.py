@@ -162,15 +162,18 @@ def _dataset():
         syn_users=60000, syn_items=20000, syn_interactions=600000))
 
 
-def bench_mf(out, ds, opt):
+def bench_mf(out, ds, opt, batch=None, iters=None, num_sampled=1024,
+             kdisp=None):
     from arec.config import Config, ModelConfig, TrainConfig
     from arec.data.dataset import mf_batches
     from arec.models.mf import MFSpec, init_mf, mf_loss
     from arec.tables.engine import attrs_to_device
     from arec.train.step import init_state, make_multi_step
 
+    batch = BATCH if batch is None else batch
+    kdisp = KDISP if kdisp is None else kdisp
     cfg = Config(model=ModelConfig(model="mf", dim=64, use_attributes=True),
-                 train=TrainConfig(num_sampled=1024))
+                 train=TrainConfig(num_sampled=num_sampled))
     spec = MFSpec.from_config(cfg, ds.user_schema, ds.item_schema)
     user_dev = attrs_to_device(ds.user_attrs.restrict(spec.user.schema),
                                spec.user)
@@ -184,31 +187,40 @@ def bench_mf(out, ds, opt):
     # per-dispatch overhead swings 0.6-11 ms, so unamortized single-step
     # dispatch makes the record hostage to tunnel load
     step = lambda st, blk, r: _ms_last(multi(st, blk, jax.random.split(
-        r, KDISP)))
-    ring = _stack_ring(mf_batches(ds, BATCH, 0, 0), KDISP, 2)
-    dt, state = _bench_steps(step, state, ring, jax.random.key(1))
+        r, kdisp)))
+    ring = _stack_ring(mf_batches(ds, batch, 0, 0), kdisp, 2)
+    iters = ITERS if iters is None else iters
+    dt, state = _bench_steps(step, state, ring, jax.random.key(1),
+                             iters=iters)
     _record(out, metric="mf_train_examples_per_s_per_chip",
-            value=round(BATCH * KDISP * ITERS / dt / CHIPS, 1),
+            value=round(batch * kdisp * iters / dt / CHIPS, 1),
             unit="examples/s/chip",
-            config=f"attr-aware MF dim64 S1024 batch16384 K{KDISP}",
+            config=f"attr-aware MF dim64 S{num_sampled} batch{batch} "
+                   f"K{kdisp}",
             **roofline_fields(
                 multi,
-                (state, ring[0], jax.random.split(jax.random.key(1), KDISP)),
-                dt / ITERS / KDISP))  # cost_analysis reports the scan BODY
+                (state, ring[0], jax.random.split(jax.random.key(1), kdisp)),
+                dt / iters / kdisp))  # cost_analysis reports the scan BODY
                                       # (one step), so pair with per-step time
     return state, spec, item_dev
 
 
-def bench_lstm(out, ds, opt):
+def bench_lstm(out, ds, opt, batch=None, seq_len=None, iters=None,
+               num_sampled=1024, kdisp=None, use_pallas=True):
     from arec.config import Config, ModelConfig, TrainConfig
     from arec.data.dataset import seq_batches
     from arec.models.seq import SeqSpec, init_seq, seq_loss
     from arec.tables.engine import attrs_to_device
     from arec.train.step import init_state, make_multi_step
 
+    sb = SB if batch is None else batch
+    sl = L if seq_len is None else seq_len
+    kdisp = KDISP if kdisp is None else kdisp
+    iters = ITERS if iters is None else iters
     cfg = Config(model=ModelConfig(model="lstm", dim=64, use_attributes=True,
-                                   max_seq_len=L, use_pallas_scan=True),
-                 train=TrainConfig(num_sampled=1024))
+                                   max_seq_len=sl,
+                                   use_pallas_scan=use_pallas),
+                 train=TrainConfig(num_sampled=num_sampled))
     sspec = SeqSpec.from_config(cfg, ds.user_schema, ds.item_schema)
     sitem_dev = attrs_to_device(
         ds.item_attrs.restrict(sspec.item_in.schema), sspec.item_in)
@@ -218,20 +230,21 @@ def bench_lstm(out, ds, opt):
         lambda p, b, r: seq_loss(p, sspec, sitem_dev, None, b, r,
                                  time_major=True), opt, 0.3)
     sstep = lambda st, blk, r: _ms_last(smulti(st, blk, jax.random.split(
-        r, KDISP)))
-    sring = _stack_ring(seq_batches(ds, SB, L, 0, 0), KDISP, 2)
-    dt, sstate = _bench_steps(sstep, sstate, sring, jax.random.key(2))
+        r, kdisp)))
+    sring = _stack_ring(seq_batches(ds, sb, sl, 0, 0), kdisp, 2)
+    dt, sstate = _bench_steps(sstep, sstate, sring, jax.random.key(2),
+                              iters=iters)
     _record(out, metric="lstm_train_examples_per_s_per_chip",
-            value=round(SB * KDISP * ITERS / dt / CHIPS, 1),
+            value=round(sb * kdisp * iters / dt / CHIPS, 1),
             unit="examples/s/chip",
-            config=f"attr-aware LSTM dim64 L{L} S1024 batch{SB} pallas "
-                   f"K{KDISP}",
+            config=f"attr-aware LSTM dim64 L{sl} S{num_sampled} batch{sb} "
+                   f"pallas={use_pallas} K{kdisp}",
             **roofline_fields(
                 smulti,
-                (sstate, sring[0], jax.random.split(jax.random.key(2), KDISP)),
-                dt / ITERS / KDISP))  # scan-body flops ↔ per-step time
+                (sstate, sring[0], jax.random.split(jax.random.key(2), kdisp)),
+                dt / iters / kdisp))  # scan-body flops ↔ per-step time
     _record(out, metric="lstm_train_positions_per_s_per_chip",
-            value=round(SB * L * KDISP * ITERS / dt / CHIPS, 1),
+            value=round(sb * sl * kdisp * iters / dt / CHIPS, 1),
             unit="positions/s/chip", config="same")
 
 

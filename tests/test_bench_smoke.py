@@ -13,6 +13,31 @@ def bench_all():
     return ba
 
 
+def test_flagship_sections_run_tiny(bench_all, tmp_path):
+    """The mf/lstm sections now K-scan their dispatches (_stack_ring /
+    _ms_last / make_multi_step plumbing); smoke them tiny so API drift in
+    that path can't ship unnoticed."""
+    from arec.config import DataConfig
+    from arec.data.io import load_or_prepare
+    from arec.train.step import make_optimizer
+
+    ds = load_or_prepare(DataConfig(
+        dataset="synthetic", data_dir=str(tmp_path),
+        syn_users=300, syn_items=200, syn_interactions=6000))
+    out = []
+    bench_all.bench_mf(out, ds, make_optimizer("adagrad", 0.3),
+                       batch=64, iters=2, num_sampled=32, kdisp=2)
+    bench_all.bench_lstm(out, ds, make_optimizer("adagrad", 0.3),
+                         batch=16, seq_len=8, iters=2, num_sampled=32,
+                         kdisp=2, use_pallas=False)
+    metrics = [r["metric"] for r in out]
+    assert metrics == ["mf_train_examples_per_s_per_chip",
+                       "lstm_train_examples_per_s_per_chip",
+                       "lstm_train_positions_per_s_per_chip"], metrics
+    assert all(r["value"] > 0 for r in out)
+    assert "K2" in out[0]["config"] and "K2" in out[1]["config"]
+
+
 def test_bigvocab_sections_run_tiny(bench_all):
     from arec.train.step import make_optimizer
     opt = make_optimizer("adagrad", 0.3)
