@@ -1,0 +1,154 @@
+"""Standing serving layer: restore a trained checkpoint ONCE, answer
+batched ad-hoc top-K queries.
+
+The CLI's `--recommend` mode (the reference's batch recommend script,
+SURVEY.md §3.3) emits lists for the dataset's eval users. Production
+serving needs the other shape: a long-lived object that answers arbitrary
+requests — users by id (MF) or raw item histories (sequence family) —
+without touching the eval split. This wraps the Trainer's restore path
+(so cross-mesh/cpu checkpoint portability and the sharded top-k merge
+come for free), precomputes the item latent matrix once, and reuses the
+Trainer's jitted serving step: requests are padded to a fixed batch shape
+so every call after the first hits the jit cache.
+
+`train.serve_recall_target < 1` switches the selection to the
+approx_max_k serving mode exactly as in recommend() — ~10x qps at
+production vocab (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from arec.config import Config
+from arec.retrieval.mips import pad_item_shards
+from arec.train.loop import Trainer
+
+
+def _pad_seen(seen, n: int, width: int) -> np.ndarray:
+    """[n, width] int32, PAD = -1 (the id no item row carries; the same
+    convention as PreparedDataset.seen_items)."""
+    out = np.full((n, max(width, 1)), -1, np.int32)   # width >= 1: a 0-size
+    if seen is not None:                              # scatter hangs the
+        for i, row in enumerate(seen):                # remote TPU compiler
+            row = list(row)[: out.shape[1]]
+            out[i, : len(row)] = row
+    return out
+
+
+class Recommender:
+    """Load the latest checkpoint under cfg.train.train_dir and serve.
+
+    Args:
+      cfg: the training Config (same file the run used; restore adapts
+        across mesh shapes and CPU/TPU — arec/train/checkpoint.py).
+      k: list length per request (default cfg.train.eval_topk).
+      serve_batch: requests are padded to this batch size per dispatch;
+        one jit compile total, any request count served in chunks.
+      seen_width: fixed width of the per-request seen-id slab.
+    """
+
+    def __init__(self, cfg: Config, k: int | None = None,
+                 serve_batch: int = 256, seen_width: int = 32):
+        self._trainer = Trainer(cfg)
+        if self._trainer.ckpt.latest_step() is None:
+            raise FileNotFoundError(
+                f"no checkpoint under {cfg.train.train_dir!r} — refusing to "
+                "serve an untrained model")
+        self.cfg = cfg
+        self.k = k or cfg.train.eval_topk
+        self.serve_batch = serve_batch
+        self.seen_width = max(seen_width, 1)
+        self.is_seq = self._trainer.is_seq
+        t = self._trainer
+        self._params = t._eval_params()
+        v, b = t._item_latents(self._params)
+        if t.use_mesh:
+            v, b = pad_item_shards(v, b, cfg.mesh.model)
+        self._vb = (v, b)
+        self._step = t._serve_step(self.k)
+
+    # ------------------------------------------------------------------
+    def _run(self, batches):
+        """batches: iterable of dicts with fixed shapes → [N, k] ids."""
+        ids_out = []
+        v, b = self._vb
+        for batch, n_valid in batches:
+            jb = {kk: jnp.asarray(x) for kk, x in batch.items()
+                  if kk != "seen"}
+            _, ids = self._step(self._params, v, b, jb,
+                                jnp.asarray(batch["seen"]))
+            ids_out.append(np.asarray(ids)[:n_valid])
+        return np.concatenate(ids_out, axis=0)
+
+    def for_users(self, user_ids, seen=None) -> np.ndarray:
+        """Top-k item ids for known user ids (MF family). `seen`:
+        optional per-request iterable of item ids to exclude."""
+        if self.is_seq:
+            raise ValueError("for_users serves the MF family; use "
+                             "from_histories for sequence models")
+        user_ids = np.asarray(user_ids, np.int32)
+        sb = self.serve_batch
+        pad_user = self._trainer.ds.num_users   # encodes to zero, harmless
+
+        def gen():
+            for s in range(0, len(user_ids), sb):
+                chunk = user_ids[s:s + sb]
+                n = len(chunk)
+                users = np.full(sb, pad_user, np.int32)
+                users[:n] = chunk
+                sl = None if seen is None else seen[s:s + sb]
+                yield {"user": users,
+                       "seen": _pad_seen(sl, sb, self.seen_width)}, n
+        return self._run(gen())
+
+    def from_histories(self, histories, seen_from_history: bool = True,
+                       seen=None, user_ids=None) -> np.ndarray:
+        """Top-k next items given raw per-request item histories (sequence
+        family). Histories of any length: left-padded / truncated to the
+        model's segment length times the needed segment count (the carried-
+        state segmented scan of seq_final_state_full). By default a
+        request's own history is also its seen-exclusion list (the
+        reference recommend semantics)."""
+        if not self.is_seq:
+            raise ValueError("from_histories serves the sequence family")
+        spec = self._trainer.spec
+        L = spec.max_seq_len
+        sb = self.serve_batch
+        pad_id = spec.vocab                      # encodes to zero
+        max_hist = max((len(h) for h in histories), default=1)
+        # any length: ceil to whole L-segments (seq_final_state_full runs
+        # the carried-state segmented scan — histories LONGER than the
+        # training pack length are served exactly, one more compile per
+        # distinct segment count)
+        total = max(L, L * math.ceil(max_hist / L))
+        if seen_from_history and seen is None:
+            seen = [h[-self.seen_width:] for h in histories]
+
+        def gen():
+            for s in range(0, len(histories), sb):
+                chunk = histories[s:s + sb]
+                n = len(chunk)
+                inputs = np.full((sb, total), pad_id, np.int32)
+                mask = np.zeros((sb, total), np.float32)
+                for i, h in enumerate(chunk):
+                    h = list(h)[-total:]
+                    if h:
+                        inputs[i, total - len(h):] = h
+                        mask[i, total - len(h):] = 1.0
+                batch = {"inputs": inputs, "mask": mask,
+                         "seen": _pad_seen(
+                             None if seen is None else seen[s:s + sb],
+                             sb, self.seen_width)}
+                if spec.user is not None:
+                    # user-concat configs need a user id per request; pad
+                    # id encodes to zero for anonymous requests
+                    u = np.full(sb, spec.user.schema.num_entities, np.int32)
+                    if user_ids is not None:
+                        u[:n] = np.asarray(user_ids[s:s + sb], np.int32)
+                    batch["user"] = u
+                yield batch, n
+        return self._run(gen())

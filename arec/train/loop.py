@@ -614,6 +614,17 @@ class Trainer:
             if stop:
                 break
         profiler.close()
+        if steps_done and self.ckpt.latest_step() != steps_done:
+            # final checkpoint: training tails shorter than
+            # steps_per_checkpoint must not be lost — recommend/serving
+            # restore the latest step and should see the FINAL params
+            # (observed: a 112-step run whose last save was step 80 served
+            # the stale model). Position metadata stays resume-exact.
+            jax.block_until_ready(self.state.params)
+            self.ckpt.save(steps_done, self._canonical_state(self.state),
+                           {"epoch": state["epoch"],
+                            "step_in_epoch": state["step_in_epoch"]},
+                           self.cfg.to_json())
         final_recall = self.evaluate()
         best_recall = max(best_recall, final_recall)
         self.metrics.log(steps_done, final_recall_at_k=final_recall,

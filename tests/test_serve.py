@@ -1,0 +1,86 @@
+"""arec.serve.Recommender — the standing ad-hoc serving layer.
+
+Golden check: for the dataset's own eval users with their own seen lists,
+the serving layer must reproduce the CLI recommend() lists exactly (same
+params, same item matrix, same top-k path — only the request plumbing
+differs)."""
+
+import numpy as np
+import pytest
+
+from arec.config import Config, DataConfig, ModelConfig, TrainConfig
+from arec.serve import Recommender
+from arec.train.loop import Trainer
+
+
+def _cfg(tmp_path, model):
+    return Config(
+        data=DataConfig(dataset="synthetic", data_dir=str(tmp_path / "d"),
+                        syn_users=300, syn_items=250, syn_interactions=8000),
+        model=ModelConfig(model=model, dim=16, use_attributes=False,
+                          max_seq_len=8, use_pallas_scan=False),
+        train=TrainConfig(batch_size=64, num_sampled=32, n_epoch=1,
+                          steps_per_checkpoint=500,
+                          train_dir=str(tmp_path / f"t_{model}")),
+    )
+
+
+def _seen_lists(ds, users):
+    return [[int(x) for x in row if x >= 0] for row in ds.seen_items[users]]
+
+
+def test_refuses_untrained(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        Recommender(_cfg(tmp_path, "mf"))
+
+
+def test_mf_for_users_matches_recommend(tmp_path):
+    cfg = _cfg(tmp_path, "mf")
+    tr = Trainer(cfg)
+    tr.train()
+    rows = dict(tr.recommend())
+
+    rec = Recommender(cfg, serve_batch=32,
+                      seen_width=tr.ds.seen_items.shape[1])
+    users = list(rows)
+    ids = rec.for_users(users, seen=_seen_lists(tr.ds, users))
+    assert ids.shape == (len(users), cfg.train.eval_topk)
+    for u, row in zip(users, ids):
+        assert row.tolist() == rows[u], u
+    # seen exclusion holds for ad-hoc requests too
+    for u, row in zip(users, ids):
+        assert not set(row.tolist()) & set(_seen_lists(tr.ds, [u])[0])
+
+
+def test_lstm_from_histories_matches_recommend(tmp_path):
+    cfg = _cfg(tmp_path, "lstm")
+    tr = Trainer(cfg)
+    tr.train()
+    rows = dict(tr.recommend())
+
+    rec = Recommender(cfg, serve_batch=32,
+                      seen_width=tr.ds.seen_items.shape[1])
+    users = list(rows)
+    L = tr.spec.pack_len
+    hists = [[int(x) for x in tr.ds.hist_items[u][: tr.ds.hist_lengths[u]]]
+             [-L:] for u in users]
+    ids = rec.from_histories(hists, seen=_seen_lists(tr.ds, users))
+    assert ids.shape == (len(users), cfg.train.eval_topk)
+    for u, row in zip(users, ids):
+        assert row.tolist() == rows[u], u
+
+
+def test_lstm_long_history_segments(tmp_path):
+    """Histories longer than one segment go through the carried-state
+    segmented scan; result must equal serving the same history through a
+    single long request (exactness of temporal pipelining)."""
+    cfg = _cfg(tmp_path, "lstm")
+    tr = Trainer(cfg)
+    tr.train()
+    rec = Recommender(cfg, serve_batch=4, seen_width=4)
+    h = [int(x) for x in tr.ds.hist_items[0][: tr.ds.hist_lengths[0]]]
+    long = (h * 4)[: 3 * tr.spec.max_seq_len - 2]    # 3 segments, ragged
+    out = rec.from_histories([long, long[:5]], seen=[[], []])
+    assert out.shape == (2, cfg.train.eval_topk)
+    out2 = rec.from_histories([long, long[:5]], seen=[[], []])
+    assert np.array_equal(out, out2)                 # deterministic
