@@ -70,6 +70,24 @@ def test_lstm_from_histories_matches_recommend(tmp_path):
         assert row.tolist() == rows[u], u
 
 
+def test_mesh_serving_matches_recommend(tmp_path):
+    """Serving on a (2,4) mesh rides the sharded exact top-k merge and
+    must still reproduce recommend() (which runs the same path)."""
+    from arec.config import MeshConfig
+    cfg = _cfg(tmp_path, "mf")
+    cfg = Config(data=cfg.data, model=cfg.model, train=cfg.train,
+                 mesh=MeshConfig(data=2, model=4, lookup="alltoall"))
+    tr = Trainer(cfg)
+    tr.train()
+    rows = dict(tr.recommend())
+    rec = Recommender(cfg, serve_batch=32,
+                      seen_width=tr.ds.seen_items.shape[1])
+    users = list(rows)[:48]
+    ids = rec.for_users(users, seen=_seen_lists(tr.ds, users))
+    for u, row in zip(users, ids):
+        assert row.tolist() == rows[u], u
+
+
 def test_lstm_long_history_segments(tmp_path):
     """Histories longer than one segment go through the carried-state
     segmented scan; result must equal serving the same history through a
