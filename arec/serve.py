@@ -82,6 +82,8 @@ class Recommender:
             _, ids = self._step(self._params, v, b, jb,
                                 jnp.asarray(batch["seen"]))
             ids_out.append(np.asarray(ids)[:n_valid])
+        if not ids_out:                      # empty request list
+            return np.zeros((0, self.k), np.int32)
         return np.concatenate(ids_out, axis=0)
 
     def for_users(self, user_ids, seen=None) -> np.ndarray:

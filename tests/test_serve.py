@@ -50,6 +50,8 @@ def test_mf_for_users_matches_recommend(tmp_path):
     # seen exclusion holds for ad-hoc requests too
     for u, row in zip(users, ids):
         assert not set(row.tolist()) & set(_seen_lists(tr.ds, [u])[0])
+    # empty request list is a no-op, not a crash
+    assert rec.for_users([]).shape == (0, cfg.train.eval_topk)
 
 
 def test_lstm_from_histories_matches_recommend(tmp_path):
