@@ -33,6 +33,10 @@ if _fake > 1:
     import jax
     jax.config.update("jax_platforms", "cpu")
 
+from arec.compile_cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()   # remote compiles swing 2-20+ min; replay is free
+
 
 def parse_args(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)

@@ -24,6 +24,10 @@ import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from arec.compile_cache import enable_compile_cache
+
+enable_compile_cache()   # tunnel compiles swing 2-20+ min; replay is free
+
 from arec.config import Config, DataConfig, ModelConfig, TrainConfig
 from arec.data.dataset import mf_batches
 from arec.data.io import load_or_prepare

@@ -26,6 +26,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from arec.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
 QUICK = "--quick" in sys.argv
 _ONLY = None
 for _i, _a in enumerate(sys.argv):

@@ -22,5 +22,9 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
+from arec.compile_cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()   # the suite is compile-heavy; replays are free
+
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert jax.device_count() == 8, jax.device_count()
