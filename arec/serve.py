@@ -30,13 +30,23 @@ from arec.train.loop import Trainer
 
 def _pad_seen(seen, n: int, width: int) -> np.ndarray:
     """[n, width] int32, PAD = -1 (the id no item row carries; the same
-    convention as PreparedDataset.seen_items)."""
+    convention as PreparedDataset.seen_items). Rows longer than `width`
+    keep their LAST (most recent) ids — the same truncation direction as
+    from_histories' history-derived lists."""
     out = np.full((n, max(width, 1)), -1, np.int32)   # width >= 1: a 0-size
     if seen is not None:                              # scatter hangs the
         for i, row in enumerate(seen):                # remote TPU compiler
-            row = list(row)[: out.shape[1]]
+            row = list(row)[-out.shape[1]:]
             out[i, : len(row)] = row
     return out
+
+
+def _auto_width(seen, fallback: int = 1) -> int:
+    """Slab width for one call: the longest seen row, rounded up to a
+    multiple of 32 so nearby request shapes share a jit entry."""
+    w = max((len(row) for row in seen), default=0) if seen is not None else 0
+    w = max(w, fallback, 1)
+    return -(-w // 32) * 32
 
 
 class Recommender:
@@ -48,11 +58,17 @@ class Recommender:
       k: list length per request (default cfg.train.eval_topk).
       serve_batch: requests are padded to this batch size per dispatch;
         one jit compile total, any request count served in chunks.
-      seen_width: fixed width of the per-request seen-id slab.
+      seen_width: width of the per-request seen-id slab. Default None =
+        size the slab per call to the longest seen list (rounded up to a
+        multiple of 32, so nearby shapes share a jit entry) — NO request's
+        exclusion list is ever silently truncated, matching the reference
+        recommend semantics of excluding ALL already-interacted items
+        (SURVEY.md §3.3). Pass an explicit width only to cap compile
+        shapes; rows beyond it then keep their most recent ids.
     """
 
     def __init__(self, cfg: Config, k: int | None = None,
-                 serve_batch: int = 256, seen_width: int = 32):
+                 serve_batch: int = 256, seen_width: int | None = None):
         self._trainer = Trainer(cfg)
         if self._trainer.ckpt.latest_step() is None:
             raise FileNotFoundError(
@@ -61,7 +77,7 @@ class Recommender:
         self.cfg = cfg
         self.k = k or cfg.train.eval_topk
         self.serve_batch = serve_batch
-        self.seen_width = max(seen_width, 1)
+        self.seen_width = None if seen_width is None else max(seen_width, 1)
         self.is_seq = self._trainer.is_seq
         t = self._trainer
         self._params = t._eval_params()
@@ -95,6 +111,7 @@ class Recommender:
         user_ids = np.asarray(user_ids, np.int32)
         sb = self.serve_batch
         pad_user = self._trainer.ds.num_users   # encodes to zero, harmless
+        width = self.seen_width or _auto_width(seen)
 
         def gen():
             for s in range(0, len(user_ids), sb):
@@ -104,7 +121,7 @@ class Recommender:
                 users[:n] = chunk
                 sl = None if seen is None else seen[s:s + sb]
                 yield {"user": users,
-                       "seen": _pad_seen(sl, sb, self.seen_width)}, n
+                       "seen": _pad_seen(sl, sb, width)}, n
         return self._run(gen())
 
     def from_histories(self, histories, seen_from_history: bool = True,
@@ -128,7 +145,11 @@ class Recommender:
         # distinct segment count)
         total = max(L, L * math.ceil(max_hist / L))
         if seen_from_history and seen is None:
-            seen = [h[-self.seen_width:] for h in histories]
+            # the request's FULL history is its exclusion list by default;
+            # an explicit seen_width caps it to the most recent ids
+            seen = (histories if self.seen_width is None
+                    else [list(h)[-self.seen_width:] for h in histories])
+        width = self.seen_width or _auto_width(seen)
 
         def gen():
             for s in range(0, len(histories), sb):
@@ -144,7 +165,7 @@ class Recommender:
                 batch = {"inputs": inputs, "mask": mask,
                          "seen": _pad_seen(
                              None if seen is None else seen[s:s + sb],
-                             sb, self.seen_width)}
+                             sb, width)}
                 if spec.user is not None:
                     # user-concat configs need a user id per request; pad
                     # id encodes to zero for anonymous requests

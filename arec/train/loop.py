@@ -389,7 +389,7 @@ class Trainer:
         latent matrix is never host-gathered or replicated
         (SURVEY.md §2.3 "Full-softmax eval sharding"); the exact merge is
         hit-for-hit equal to the single-device path
-        (tests/test_dist_e2e.py::test_trainer_mesh_eval_matches_dense)."""
+        (tests/test_dist_e2e.py::test_trainer_mesh_parity_through_defaults)."""
         if getattr(self, "_eval_jit_k", None) != k:
             if self.use_mesh:
                 topk = make_sharded_topk(self.mesh, k=k,
@@ -481,6 +481,17 @@ class Trainer:
         return rows
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _data_pos(state: dict, prev_loss: float, window, best_recall: float):
+        """Checkpoint position metadata: data-iterator position plus the
+        plateau-decay / best-metric state (JSON-safe: inf → None)."""
+        return {"epoch": state["epoch"],
+                "step_in_epoch": state["step_in_epoch"],
+                "prev_loss": (None if prev_loss == float("inf")
+                              else float(prev_loss)),
+                "window": [float(x) for x in window],
+                "best_recall": float(best_recall)}
+
     def _maybe_restore(self):
         if self.ckpt.latest_step() is None:
             return
@@ -497,6 +508,14 @@ class Trainer:
                 self.state = jax.device_put(self.state, self.state_sh)
             self.start_epoch = int(data_pos.get("epoch", 0))
             self.start_step_in_epoch = int(data_pos.get("step_in_epoch", 0))
+            # plateau-decay + best-metric state: restoring these makes resume
+            # exact even from a mid-window (tail) checkpoint — without them
+            # the loss window restarts empty and decay decisions can diverge
+            # from the uninterrupted run (tests/test_checkpoint.py::
+            # test_resume_restores_plateau_state)
+            self._resume_prev_loss = data_pos.get("prev_loss", None)
+            self._resume_window = list(data_pos.get("window", []))
+            self._resume_best_recall = float(data_pos.get("best_recall", 0.0))
             print(f"[ckpt] restored step {int(self.state.step)} "
                   f"(epoch {self.start_epoch}"
                   f"+{self.start_step_in_epoch} steps)", flush=True)
@@ -513,8 +532,11 @@ class Trainer:
         batches instead of replaying them."""
         t = self.cfg.train
         base_rng = jax.random.key(t.seed + 777)
-        best_recall, prev_loss = 0.0, float("inf")
-        window, steps_done = [], int(self.state.step)
+        best_recall = getattr(self, "_resume_best_recall", 0.0)
+        rp = getattr(self, "_resume_prev_loss", None)
+        prev_loss = float("inf") if rp is None else float(rp)
+        window = list(getattr(self, "_resume_window", []))
+        steps_done = int(self.state.step)
         ex_since, t_since = 0, time.time()
         from arec.data.prefetch import prefetch, to_device
         from arec.train.profile import StepProfiler
@@ -557,8 +579,8 @@ class Trainer:
                 window.clear()
                 ex_since, t_since = 0, time.time()
                 self.ckpt.save(steps_done, self._canonical_state(self.state),
-                               {"epoch": state["epoch"],
-                                "step_in_epoch": state["step_in_epoch"]},
+                               self._data_pos(state, prev_loss, window,
+                                              best_recall),
                                self.cfg.to_json())
             return bool(t.max_steps and steps_done >= t.max_steps)
 
@@ -619,11 +641,14 @@ class Trainer:
             # steps_per_checkpoint must not be lost — recommend/serving
             # restore the latest step and should see the FINAL params
             # (observed: a 112-step run whose last save was step 80 served
-            # the stale model). Position metadata stays resume-exact.
+            # the stale model). Resume from here is exact: position AND
+            # plateau-decay state (prev_loss + the open loss window) are in
+            # the metadata, so a resumed run makes the same decay decisions
+            # as the uninterrupted one.
             jax.block_until_ready(self.state.params)
             self.ckpt.save(steps_done, self._canonical_state(self.state),
-                           {"epoch": state["epoch"],
-                            "step_in_epoch": state["step_in_epoch"]},
+                           self._data_pos(state, prev_loss, window,
+                                          best_recall),
                            self.cfg.to_json())
         final_recall = self.evaluate()
         best_recall = max(best_recall, final_recall)

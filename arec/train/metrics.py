@@ -24,6 +24,7 @@ class MetricLogger:
         self._t0 = time.time()
         self._tb_dir = os.path.join(train_dir, "tb") if tensorboard else None
         self._tb = None
+        self._closed = False
 
     def _tb_writer(self):
         if self._tb is None and self._tb_dir is not None:
@@ -32,6 +33,8 @@ class MetricLogger:
         return self._tb
 
     def log(self, step: int, **scalars) -> None:
+        if self._closed:
+            raise ValueError("MetricLogger.log() after close()")
         rec = {"step": int(step), "t": round(time.time() - self._t0, 3)}
         rec.update({k: (float(v) if hasattr(v, "__float__") else v)
                     for k, v in scalars.items()})
@@ -47,7 +50,10 @@ class MetricLogger:
         print(f"[metrics] {parts}", flush=True)
 
     def close(self):
+        self._closed = True
         self._f.close()
         if self._tb is not None:
             self._tb.close()
             self._tb = None
+        self._tb_dir = None   # a post-close log() must fail loudly, not
+                              # spawn a fresh SummaryWriter

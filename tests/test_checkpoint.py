@@ -162,6 +162,47 @@ def test_resume_is_exact(tmp_path):
                                    rtol=1e-6, atol=1e-7)
 
 
+def test_resume_restores_plateau_state(tmp_path):
+    """Resuming from a MID-WINDOW (tail) checkpoint must reproduce the
+    uninterrupted run's plateau-decay decisions: prev_loss and the open
+    loss window ride the checkpoint metadata. Interrupt at step 30 (the
+    tail checkpoint, 5 steps into the 25-step window) and resume to 75;
+    the resumed run's next checkpoint at 50 then averages steps 26-50
+    exactly like the uninterrupted run, so lr_scale and params match."""
+    from arec.train.loop import Trainer
+
+    def cfg(train_dir, max_steps):
+        return Config(
+            data=DataConfig(syn_users=120, syn_items=90,
+                            syn_interactions=2400,
+                            data_dir=str(tmp_path / "data")),
+            model=ModelConfig(model="mf", dim=8),
+            train=TrainConfig(batch_size=32, n_epoch=2, max_steps=max_steps,
+                              steps_per_checkpoint=25, lr_decay=0.5,
+                              compute_dtype="float32",
+                              train_dir=str(train_dir)),
+        )
+
+    t_full = Trainer(cfg(tmp_path / "full", 75))
+    t_full.train()
+
+    t_a = Trainer(cfg(tmp_path / "resume", 30))   # tail ckpt mid-window
+    t_a.train()
+    t_b = Trainer(cfg(tmp_path / "resume", 75))
+    assert int(t_b.state.step) == 30
+    # the open window (steps 26-30) and prev_loss (mean of 1-25) restored
+    assert len(t_b._resume_window) == 5
+    assert t_b._resume_prev_loss is not None
+    t_b.train()
+
+    np.testing.assert_allclose(float(t_full.state.lr_scale),
+                               float(t_b.state.lr_scale), rtol=0, atol=0)
+    for pf, pr in zip(jax.tree_util.tree_leaves(t_full.state.params),
+                      jax.tree_util.tree_leaves(t_b.state.params)):
+        np.testing.assert_allclose(np.asarray(pf), np.asarray(pr),
+                                   rtol=1e-6, atol=1e-7)
+
+
 def test_abstract_like_always_has_concrete_sharding():
     """With sharding=None leaves, orbax falls back to the sharding FILE in
     the checkpoint, which names the saving job's devices — restoring a

@@ -40,8 +40,7 @@ def test_mf_for_users_matches_recommend(tmp_path):
     tr.train()
     rows = dict(tr.recommend())
 
-    rec = Recommender(cfg, serve_batch=32,
-                      seen_width=tr.ds.seen_items.shape[1])
+    rec = Recommender(cfg, serve_batch=32)   # default slab: no truncation
     users = list(rows)
     ids = rec.for_users(users, seen=_seen_lists(tr.ds, users))
     assert ids.shape == (len(users), cfg.train.eval_topk)
@@ -60,8 +59,7 @@ def test_lstm_from_histories_matches_recommend(tmp_path):
     tr.train()
     rows = dict(tr.recommend())
 
-    rec = Recommender(cfg, serve_batch=32,
-                      seen_width=tr.ds.seen_items.shape[1])
+    rec = Recommender(cfg, serve_batch=32)
     users = list(rows)
     L = tr.spec.pack_len
     hists = [[int(x) for x in tr.ds.hist_items[u][: tr.ds.hist_lengths[u]]]
@@ -82,12 +80,36 @@ def test_mesh_serving_matches_recommend(tmp_path):
     tr = Trainer(cfg)
     tr.train()
     rows = dict(tr.recommend())
-    rec = Recommender(cfg, serve_batch=32,
-                      seen_width=tr.ds.seen_items.shape[1])
+    rec = Recommender(cfg, serve_batch=32)
     users = list(rows)[:48]
     ids = rec.for_users(users, seen=_seen_lists(tr.ds, users))
     for u, row in zip(users, ids):
         assert row.tolist() == rows[u], u
+
+
+def test_long_history_never_served_seen_items(tmp_path):
+    """Regression for the old seen_width=32 default: a request whose
+    seen/history list exceeds any fixed slab must STILL never be served an
+    already-interacted item — the default slab sizes itself to the call."""
+    cfg = _cfg(tmp_path, "lstm")
+    tr = Trainer(cfg)
+    tr.train()
+    rec = Recommender(cfg)                    # defaults only
+    # a 70-item history (> the old 32-wide slab), ids cycled over the vocab
+    long_hist = [int(x % tr.ds.num_items) for x in range(3, 3 + 70)]
+    out = rec.from_histories([long_hist])     # history = exclusion list
+    assert not set(out[0].tolist()) & set(long_hist)
+    # MF family: explicit long seen list, default slab
+    cfg2 = _cfg(tmp_path, "mf")
+    tr2 = Trainer(cfg2)
+    tr2.train()
+    rec2 = Recommender(cfg2)
+    out2 = rec2.for_users([1], seen=[long_hist])
+    assert not set(out2[0].tolist()) & set(long_hist)
+    # explicit narrow width keeps the MOST RECENT ids (consistent direction)
+    rec3 = Recommender(cfg2, seen_width=8)
+    out3 = rec3.for_users([1], seen=[long_hist])
+    assert not set(out3[0].tolist()) & set(long_hist[-8:])
 
 
 def test_lstm_long_history_segments(tmp_path):
