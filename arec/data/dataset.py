@@ -229,18 +229,27 @@ def seq_batches(
 
 
 def eval_batches(
-    ds: PreparedDataset, batch_size: int, max_seq_len: int = 0
+    ds: PreparedDataset, batch_size: int, max_seq_len: int = 0,
+    host_id: int = 0, num_hosts: int = 1,
 ) -> Iterator[dict[str, np.ndarray]]:
     """Validation batches: one row per held-out (user, positive). Fixed batch
     shapes; the trailing partial batch is padded with repeats and flagged via
     `valid` so metrics can ignore padding rows.
 
     When max_seq_len > 0 also emits the user's train history packed to L
-    (for the LSTM recommend path, SURVEY.md §3.3)."""
+    (for the LSTM recommend path, SURVEY.md §3.3).
+
+    Multi-host: host h evaluates the strided slice h::num_hosts of the
+    held-out rows; every host emits the SAME number of batches (trailing
+    hosts pad) because in a multi-process run each batch feeds a collective
+    program — uneven batch counts would deadlock the mesh."""
     nv = len(ds.valid_users)
     pad_item = ds.num_items
-    for s in range(0, nv, batch_size):
-        idx = np.arange(s, min(s + batch_size, nv))
+    rows = np.arange(nv)[host_id::num_hosts]
+    per_host = -(-nv // num_hosts)            # ceil: same on every host
+    n_batches = max(1, -(-per_host // batch_size)) if nv else 0
+    for b in range(n_batches):
+        idx = rows[b * batch_size : (b + 1) * batch_size]
         valid = np.ones(batch_size, np.float32)
         if len(idx) < batch_size:
             valid[len(idx):] = 0.0

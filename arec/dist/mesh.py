@@ -25,11 +25,30 @@ from jax.sharding import Mesh
 
 
 def multihost_init() -> None:
-    """jax.distributed.initialize when launched under a multi-host runtime
-    (SURVEY.md §2.4). No-op single-host; coordinator address comes from the
-    standard env vars."""
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
-        jax.distributed.initialize()
+    """jax.distributed.initialize when launched under a multi-process
+    runtime (SURVEY.md §2.4). No-op single-host. Launch contract (what the
+    2-process test and a real multi-host job both use): every process sets
+    JAX_COORDINATOR_ADDRESS plus JAX_NUM_PROCESSES and JAX_PROCESS_ID, and
+    runs the SAME program. Must run before any other jax use (backends
+    initialize on first query); a second call in-process is a no-op."""
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return
+    if jax.distributed.is_initialized():
+        return   # e.g. a second Trainer in the same process
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    jax.distributed.initialize(
+        coordinator_address=addr,
+        num_processes=int(nproc) if nproc else None,
+        process_id=int(pid) if pid else None)
+
+
+def is_primary() -> bool:
+    """True on the process that owns singleton side effects (metrics JSONL,
+    submission files). Per-host work is NOT gated on this — checkpoints are
+    collective (every process saves its addressable shards)."""
+    return jax.process_index() == 0
 
 
 def host_info() -> tuple[int, int]:

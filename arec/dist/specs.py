@@ -47,6 +47,14 @@ def batch_pspec(batch):
         lambda leaf: P(DATA_AXIS, *([None] * (leaf.ndim - 1))), batch)
 
 
+def stacked_pspec(batch):
+    """P(None, "data", ...) on every K-stacked [K, B, ...] batch tensor
+    (steps_per_dispatch > 1: the scan axis is unsharded, the batch axis
+    keeps its data sharding)."""
+    return jax.tree_util.tree_map(
+        lambda leaf: P(None, DATA_AXIS, *([None] * (leaf.ndim - 2))), batch)
+
+
 def shardings(mesh, pspecs):
     return jax.tree_util.tree_map(
         lambda s: NamedSharding(mesh, s), pspecs,

@@ -32,7 +32,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from arec.config import Config
 from arec.data.dataset import eval_batches, mf_batches, seq_batches
 from arec.data.io import load_or_prepare
-from arec.dist.mesh import host_info, make_mesh, multihost_init
+from arec.dist.global_io import shard_from_hosts, tree_put_replicated
+from arec.dist.mesh import host_info, is_primary, make_mesh, multihost_init
 from arec.dist.specs import (
     DATA_AXIS, TABLE_AXIS, batch_pspec, param_pspecs, shardings,
 )
@@ -76,6 +77,20 @@ class Trainer:
         mcfg = cfg.mesh
         self.use_mesh = mcfg.data * mcfg.model > 1
         self.mesh = make_mesh(mcfg.data, mcfg.model) if self.use_mesh else None
+        # multi-process (multi-host) run: host-local batches must enter the
+        # global-mesh jit as global jax.Arrays (arec.dist.global_io); the
+        # per-host input iterators already partition each epoch
+        self.multiproc = self.num_hosts > 1
+        if self.multiproc:
+            if not self.use_mesh:
+                raise ValueError(
+                    "a multi-process run needs a mesh spanning all "
+                    "processes: set mesh.data×mesh.model = global devices")
+            if cfg.train.batch_size % self.num_hosts:
+                raise ValueError(
+                    f"train.batch_size ({cfg.train.batch_size}) is the "
+                    f"GLOBAL batch and must divide by the number of "
+                    f"processes ({self.num_hosts})")
 
         # ---- model ----------------------------------------------------
         key = jax.random.key(cfg.train.seed)
@@ -142,7 +157,22 @@ class Trainer:
         if self.use_mesh:
             params = _pad_params_tables(params, mcfg.model)
             self.param_sh = shardings(self.mesh, param_pspecs(params))
-            params = jax.device_put(params, self.param_sh)
+            # init is deterministic-same-seed on every process, so each
+            # process materializes just its addressable shards of the same
+            # global params (single-process: plain device_put)
+            params = tree_put_replicated(params, self.param_sh)
+
+        if self.multiproc:
+            # device-side attribute tables enter every jitted step/eval as
+            # captured arrays; on a process-spanning mesh they must be
+            # GLOBAL (replicated) arrays, not host-local device arrays
+            from arec.dist.global_io import put_replicated_global
+            rep = NamedSharding(self.mesh, P())
+            put = lambda t: jax.tree_util.tree_map(
+                lambda x: put_replicated_global(x, rep), t)
+            self.item_dev = put(self.item_dev)
+            if self.user_dev is not None:
+                self.user_dev = put(self.user_dev)
 
         # ---- sampler proposal (sampler="pop": empirical popularity^α over
         # the dataset's train item counts; log_uniform/uniform need no state)
@@ -154,12 +184,26 @@ class Trainer:
 
         # ---- optimizer + step ----------------------------------------
         self.opt = make_optimizer(cfg.train.optimizer, cfg.train.learning_rate)
-        self.sparse = cfg.train.sparse_update and not self.use_mesh
-        if cfg.train.sparse_update and self.use_mesh:
-            print("[config] sparse_update ignored on a mesh: sharded tables "
-                  "are already V/T per chip and update via the exchange "
-                  "transpose", flush=True)
-        if self.sparse:
+        self.sparse = cfg.train.sparse_update
+        if self.sparse and self.use_mesh:
+            # touched-rows updates on the mesh: kills the dense [Vp/T, W]
+            # table-cotangent psum over "data" of the GSPMD step — comm and
+            # optimizer traffic O(touched·W) per step (arec/train/sparse_mesh)
+            from arec.train.sparse import init_sparse_state, table_paths
+            from arec.train.sparse_mesh import (
+                make_sparse_mesh_step, sparse_mesh_state_shardings,
+            )
+            self.state = init_sparse_state(
+                params, table_paths(self.is_seq, self.spec), self.opt,
+                cfg.train.optimizer)
+            self.state_sh = sparse_mesh_state_shardings(self.mesh, self.state)
+            self.state = tree_put_replicated(self.state, self.state_sh)
+            self.step_fn = make_sparse_mesh_step(
+                self.mesh, self.is_seq, self.spec, self.user_dev,
+                self.item_dev, self.opt, cfg.train.learning_rate,
+                cfg.train.optimizer, pop=self.pop, perms=self.perms,
+                state_shardings=self.state_sh)
+        elif self.sparse:
             from arec.train.sparse import (
                 init_sparse_state, make_sparse_train_step, table_paths,
             )
@@ -174,7 +218,7 @@ class Trainer:
             self.state = init_state(params, self.opt)
             if self.use_mesh:
                 self.state_sh = self._state_shardings(params)
-                self.state = jax.device_put(self.state, self.state_sh)
+                self.state = tree_put_replicated(self.state, self.state_sh)
 
             loss_fn = self._loss_fn()
             if self.use_mesh:
@@ -194,7 +238,14 @@ class Trainer:
                     "steps_per_checkpoint must be a multiple of "
                     "steps_per_dispatch "
                     f"({cfg.train.steps_per_checkpoint} % {self.dispatch_k})")
-            if self.sparse:
+            if self.sparse and self.use_mesh:
+                from arec.train.sparse_mesh import make_sparse_mesh_multi_step
+                self.multi_step_fn = make_sparse_mesh_multi_step(
+                    self.mesh, self.is_seq, self.spec, self.user_dev,
+                    self.item_dev, self.opt, cfg.train.learning_rate,
+                    cfg.train.optimizer, pop=self.pop, perms=self.perms,
+                    state_shardings=self.state_sh)
+            elif self.sparse:
                 from arec.train.sparse import make_sparse_multi_step
                 self.multi_step_fn = make_sparse_multi_step(
                     self.is_seq, self.spec, self.user_dev, self.item_dev,
@@ -208,8 +259,11 @@ class Trainer:
                     self._loss_fn(), self.opt, cfg.train.learning_rate)
 
         self.ckpt = Checkpointer(cfg.train.train_dir)
+        # singleton side effects (metrics JSONL / TensorBoard) live on
+        # process 0 — N hosts sharing a train_dir must not race on the file
         self.metrics = MetricLogger(cfg.train.train_dir,
-                                    tensorboard=cfg.train.tensorboard)
+                                    tensorboard=cfg.train.tensorboard,
+                                    enabled=is_primary())
         self.start_epoch = 0
         self._maybe_restore()
 
@@ -337,13 +391,41 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _batches(self, epoch: int):
+        """Per-host batch iterator. train.batch_size is the GLOBAL batch:
+        each host yields its batch_size/num_hosts slab of the shared epoch
+        permutation, so the same config trains identically on 1 or N
+        processes (the 2-process parity test relies on this)."""
         t = self.cfg.train
+        per_host = t.batch_size // self.num_hosts
         if self.is_seq:
-            return seq_batches(self.ds, t.batch_size,
+            return seq_batches(self.ds, per_host,
                                self.spec.pack_len, t.seed, epoch,
                                self.host_id, self.num_hosts)
-        return mf_batches(self.ds, t.batch_size, t.seed, epoch,
+        return mf_batches(self.ds, per_host, t.seed, epoch,
                           self.host_id, self.num_hosts)
+
+    def _stage_batch(self, jb):
+        """Host-local numpy batch → device arrays for one step. On a
+        multi-process run every leaf becomes a GLOBAL array sharded
+        P("data") (arec.dist.global_io.shard_from_hosts); otherwise the
+        prefetcher already device_put the leaves and this is identity."""
+        if not self.multiproc:
+            return jb
+        sh = shardings(self.mesh, batch_pspec(jb))
+        return jax.tree_util.tree_map(shard_from_hosts, jb, sh)
+
+    def _stage_stacked(self, pending):
+        """K host batches → one stacked [K, B, ...] dispatch block with the
+        batch axis data-sharded (multi-process: global arrays via the
+        bridge; single-process: plain stack, GSPMD re-shards in-jit)."""
+        if not self.multiproc:
+            return {kk: jnp.stack([p[kk] for p in pending])
+                    for kk in pending[0]}
+        from arec.dist.specs import stacked_pspec
+        stacked = {kk: np.stack([np.asarray(p[kk]) for p in pending])
+                   for kk in pending[0]}
+        sh = shardings(self.mesh, stacked_pspec(stacked))
+        return jax.tree_util.tree_map(shard_from_hosts, stacked, sh)
 
     def _eval_params(self):
         """Plain param tree for eval paths (sparse Adagrad stores tables
@@ -428,13 +510,36 @@ class Trainer:
             def step(params, v, b, batch, seen):
                 q = self._query_fn(params, batch)
                 return topk(q, v, b, seen)
-            self._serve_jit = jax.jit(step)
+            if self.multiproc:
+                # replicate the (tiny) [B, k] result so every process can
+                # read the whole batch's lists host-side (the all-gather
+                # rides ICI inside the jit)
+                rep = NamedSharding(self.mesh, P())
+                self._serve_jit = jax.jit(step, out_shardings=(rep, rep))
+            else:
+                self._serve_jit = jax.jit(step)
             self._serve_jit_k = (k, target)
         return self._serve_jit
 
+    def _stage_eval(self, batch, seen):
+        """Eval/serve batch + seen slab → device. Multi-process: each host
+        contributes its slab of the global batch (P("data") leaves via
+        arec.dist.global_io); single-process: plain host arrays (jit
+        re-shards)."""
+        if not self.multiproc:
+            return ({kk: jnp.asarray(x) for kk, x in batch.items()},
+                    jnp.asarray(seen))
+        jb = self._stage_batch(batch)
+        sh = NamedSharding(self.mesh, P(DATA_AXIS, None))
+        return jb, shard_from_hosts(np.asarray(seen), sh)
+
     def evaluate(self, k: int | None = None) -> float:
         """Valid Recall@K with seen-item masking (SURVEY.md §3.3). On a
-        mesh the item matrix stays sharded end-to-end (see _eval_step)."""
+        mesh the item matrix stays sharded end-to-end (see _eval_step).
+        Multi-process: each host evaluates its own strided slice of the
+        held-out rows (eval_batches host sharding); the jitted step sums
+        hits over the GLOBAL batch, so the running totals are already
+        all-host counts — no extra reduction needed."""
         k = k or self.cfg.train.eval_topk
         params = self._eval_params()
         v, b = self._item_latents(params)
@@ -446,9 +551,11 @@ class Trainer:
         step = self._eval_step(k)
         hits = total = 0.0
         L = self.spec.pack_len if self.is_seq else 0
-        for batch in eval_batches(self.ds, 256, max_seq_len=L):
-            jb = {kk: jnp.asarray(x) for kk, x in batch.items()}
-            seen = jnp.asarray(self.ds.seen_items[batch["user"]])
+        for batch in eval_batches(self.ds, 256, max_seq_len=L,
+                                  host_id=self.host_id,
+                                  num_hosts=self.num_hosts):
+            jb, seen = self._stage_eval(batch,
+                                        self.ds.seen_items[batch["user"]])
             h, t = step(params, v, b, jb, seen)
             hits += float(h)
             total += float(t)
@@ -466,15 +573,26 @@ class Trainer:
         serve_step = self._serve_step(k)
         rows = []
         L = self.spec.pack_len if self.is_seq else 0
-        for batch in eval_batches(self.ds, 256, max_seq_len=L):
-            jb = {kk: jnp.asarray(x) for kk, x in batch.items()}
-            seen = jnp.asarray(self.ds.seen_items[batch["user"]])
+        # multi-process: every host walks ALL hosts' (cheap, host-side)
+        # batch metadata in lockstep, feeds only its own slab to the device,
+        # and reads back the replicated [H·B, k] result — so each process
+        # returns the COMPLETE row list while queries stay host-sharded
+        H = self.num_hosts
+        iters = [eval_batches(self.ds, 256, max_seq_len=L,
+                              host_id=h, num_hosts=H) for h in range(H)]
+        for batches in zip(*iters):
+            mine = batches[self.host_id]
+            jb, seen = self._stage_eval(mine,
+                                        self.ds.seen_items[mine["user"]])
             _, ids = serve_step(params, v, b, jb, seen)
-            ids = np.asarray(ids)
-            for u, row, ok in zip(batch["user"], ids, batch["valid"]):
-                if ok:
-                    rows.append((int(u), row.tolist()))
-        if out_path:
+            ids = np.asarray(ids)          # replicated in multiproc mode
+            per = len(mine["user"])
+            for h, bb in enumerate(batches):
+                ids_h = ids[h * per:(h + 1) * per] if H > 1 else ids
+                for u, row, ok in zip(bb["user"], ids_h, bb["valid"]):
+                    if ok:
+                        rows.append((int(u), row.tolist()))
+        if out_path and is_primary():
             with open(out_path, "w") as f:
                 for u, items in rows:
                     f.write(f"{u}\t{','.join(map(str, items))}\n")
@@ -505,7 +623,7 @@ class Trainer:
             if self.perms:
                 # disk layout is natural (see _canonical_state) → stored
                 self.state = self._tree_permute(self.state)
-                self.state = jax.device_put(self.state, self.state_sh)
+                self.state = tree_put_replicated(self.state, self.state_sh)
             self.start_epoch = int(data_pos.get("epoch", 0))
             self.start_step_in_epoch = int(data_pos.get("step_in_epoch", 0))
             # plateau-decay + best-metric state: restoring these makes resume
@@ -593,7 +711,11 @@ class Trainer:
                 state["step_in_epoch"] = skip
                 skip = 0
             # native-packed batches staged to device a step ahead of compute
-            it = prefetch(batches, depth=max(2, K + 1), transform=to_device())
+            # (multi-process: keep numpy on the worker thread — global-array
+            # assembly happens at dispatch so every process builds arrays in
+            # the same order on the main thread)
+            it = prefetch(batches, depth=max(2, K + 1),
+                          transform=None if self.multiproc else to_device())
             pending = []
             for jb in it:
                 pending.append(jb)
@@ -608,8 +730,7 @@ class Trainer:
                     subs = jax.vmap(
                         lambda i: jax.random.fold_in(base_rng, i))(
                         jnp.arange(steps_done, steps_done + K))
-                    stacked = {kk: jnp.stack([p[kk] for p in pending])
-                               for kk in pending[0]}
+                    stacked = self._stage_stacked(pending)
                     profiler.on_step(steps_done)
                     self.state, ms = self.multi_step_fn(self.state, stacked,
                                                         subs)
@@ -619,7 +740,7 @@ class Trainer:
                         if stop:
                             break
                 else:
-                    jb = pending.pop(0)
+                    jb = self._stage_batch(pending.pop(0))
                     sub = jax.random.fold_in(base_rng, steps_done)
                     profiler.on_step(steps_done)
                     self.state, m = self.step_fn(self.state, jb, sub)
@@ -631,7 +752,8 @@ class Trainer:
                 if stop:
                     break
                 sub = jax.random.fold_in(base_rng, steps_done)
-                self.state, m = self.step_fn(self.state, jb, sub)
+                self.state, m = self.step_fn(self.state, self._stage_batch(jb),
+                                             sub)
                 stop = after_step(m["loss"], m["lr"])
             if stop:
                 break

@@ -18,13 +18,19 @@ import time
 
 class MetricLogger:
     def __init__(self, train_dir: str, filename: str = "metrics.jsonl",
-                 tensorboard: bool = False):
-        os.makedirs(train_dir, exist_ok=True)
-        self._f = open(os.path.join(train_dir, filename), "a", buffering=1)
+                 tensorboard: bool = False, enabled: bool = True):
+        """enabled=False → every call is a no-op (non-primary processes of
+        a multi-host run share train_dir and must not race on the JSONL)."""
+        self.enabled = enabled
         self._t0 = time.time()
-        self._tb_dir = os.path.join(train_dir, "tb") if tensorboard else None
         self._tb = None
         self._closed = False
+        if not enabled:
+            self._f, self._tb_dir = None, None
+            return
+        os.makedirs(train_dir, exist_ok=True)
+        self._f = open(os.path.join(train_dir, filename), "a", buffering=1)
+        self._tb_dir = os.path.join(train_dir, "tb") if tensorboard else None
 
     def _tb_writer(self):
         if self._tb is None and self._tb_dir is not None:
@@ -33,6 +39,8 @@ class MetricLogger:
         return self._tb
 
     def log(self, step: int, **scalars) -> None:
+        if not self.enabled:
+            return
         if self._closed:
             raise ValueError("MetricLogger.log() after close()")
         rec = {"step": int(step), "t": round(time.time() - self._t0, 3)}
@@ -51,7 +59,8 @@ class MetricLogger:
 
     def close(self):
         self._closed = True
-        self._f.close()
+        if self._f is not None:
+            self._f.close()
         if self._tb is not None:
             self._tb.close()
             self._tb = None

@@ -9,11 +9,18 @@ appends a JSON record per metric to BASELINE_RUNS.jsonl:
   * retrieval queries/s — top-30 MIPS over the item table, seen-masked
 
 bench.py stays the driver's one-line entry; this is the full harness.
-Usage: python bench_all.py [--quick] [--only SECTION[,SECTION]]
+Usage: python bench_all.py [--quick] [--only SECTION[,SECTION]] [--check]
 Sections: mf, lstm, mf_bigvocab, lstm_bigvocab, retrieval,
 retrieval_bigvocab.
 (--only exists because tunnel compiles are slow — a full run can exceed a
 10-minute window; split sections across invocations.)
+
+--check turns the floors in BENCH_FLOORS.json into a GATE: after the run,
+any measured metric more than 20% below its floor fails the process
+(exit 1) — a regression is a failing command, not a prose diff. Floors are
+best-recorded/3 (see the file's _note: the remote chip is multi-tenant and
+absolute numbers swing 2-3×, so the gate catches regression cliffs, not
+tunnel weather).
 """
 
 from __future__ import annotations
@@ -79,11 +86,26 @@ V5E_PEAK_BF16_FLOPS = 197e12
 V5E_HBM_BYTES_S = 819e9
 
 
-def roofline_fields(step, args, dt_step_s: float) -> dict:
+def roofline_fields(step, args, dt_step_s: float,
+                    min_bytes: float | None = None) -> dict:
     """mfu / membw_frac / step_ms for a jitted step at `args` shapes.
     Lowering hits the jit trace cache (same avals as the benched calls);
-    cost_analysis is best-effort — absent on backends that don't report."""
+    cost_analysis is best-effort — absent on backends that don't report.
+
+    min_bytes: ANALYTIC lower bound on the HBM traffic the benched
+    algorithm must move per step (e.g. the dense-optimizer table sweeps —
+    see _mf_min_bytes/_lstm_min_bytes). Yields `membw_frac_measured` =
+    time_floor / time_measured = min_bytes / (dt · peak_bw), which cannot
+    exceed 1 (unlike cost-model `membw_frac`, which counts logical bytes
+    XLA fusion never moves and has read >1). ≈1 ⇒ the step sits at the HBM
+    floor; ≪1 ⇒ the remaining time is compute/overhead, not bandwidth
+    (exactly the question the speed-of-light claim needs answered —
+    BASELINE.md roofline section)."""
     out = {"step_ms": round(dt_step_s * 1e3, 3)}
+    if min_bytes is not None:
+        out["membw_frac_measured"] = round(
+            min_bytes / dt_step_s / V5E_HBM_BYTES_S, 4)
+        out["min_bytes_per_step"] = float(min_bytes)
     try:
         ca = step.lower(*args).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
@@ -103,6 +125,29 @@ def roofline_fields(step, args, dt_step_s: float) -> dict:
 
 def want(section: str) -> bool:
     return _ONLY is None or section in _ONLY
+
+
+# Analytic per-step HBM floors for the flagship dense-Adagrad steps.
+# Derivation (BASELINE.md "Roofline accounting"): the dense step
+# materializes a full-table cotangent (1 write + 1 read) and runs Adagrad
+# over every row (param read+write, accumulator read+write) → ≥5 full
+# passes over each fused table at 4 B/elem; the sequence model additionally
+# carries [B, L, D] activations through fwd + bwd (≥3 passes). Gather/logit
+# traffic is strictly additive and omitted — keeping the bound a true floor.
+
+def _mf_min_bytes(spec) -> float:
+    return 5 * 4 * (spec.user.total_rows * spec.user.width
+                    + spec.item.total_rows * spec.item.width)
+
+
+def _lstm_min_bytes(spec, batch: int, seq_len: int) -> float:
+    tables = spec.item_in.total_rows * spec.item_in.width
+    if not spec.tie_output:
+        tables += (spec.vocab + 1) * (spec.item_in.dim + 1)
+    if spec.user is not None:
+        tables += spec.user.total_rows * spec.user.width
+    acts = 3 * batch * seq_len * spec.item_in.dim
+    return 4.0 * (5 * tables + acts)
 
 
 def _bench_steps(step, state, ring, rng, warmup=5, iters=None, windows=5):
@@ -204,8 +249,9 @@ def bench_mf(out, ds, opt, batch=None, iters=None, num_sampled=1024,
             **roofline_fields(
                 multi,
                 (state, ring[0], jax.random.split(jax.random.key(1), kdisp)),
-                dt / iters / kdisp))  # cost_analysis reports the scan BODY
+                dt / iters / kdisp,   # cost_analysis reports the scan BODY
                                       # (one step), so pair with per-step time
+                min_bytes=_mf_min_bytes(spec)))
     return state, spec, item_dev
 
 
@@ -246,7 +292,8 @@ def bench_lstm(out, ds, opt, batch=None, seq_len=None, iters=None,
             **roofline_fields(
                 smulti,
                 (sstate, sring[0], jax.random.split(jax.random.key(2), kdisp)),
-                dt / iters / kdisp))  # scan-body flops ↔ per-step time
+                dt / iters / kdisp,   # scan-body flops ↔ per-step time
+                min_bytes=_lstm_min_bytes(sspec, sb, sl)))
     _record(out, metric="lstm_train_positions_per_s_per_chip",
             value=round(sb * sl * kdisp * iters / dt / CHIPS, 1),
             unit="positions/s/chip", config="same")
@@ -401,6 +448,26 @@ def bench_retrieval_bigvocab(out):
                 **roofline_fields(tk, (), dt / ITERS))
 
 
+def check_floors(out: list[dict], floors_path: str = "BENCH_FLOORS.json",
+                 slack: float = 0.8) -> list[str]:
+    """Failures for every measured metric more than (1-slack) below its
+    floor. Pure function of the run records — unit-tested without a TPU."""
+    import os
+    if not os.path.exists(floors_path):
+        return [f"{floors_path} missing — cannot gate"]
+    floors = json.load(open(floors_path))
+    fails = []
+    for rec in out:
+        fl = floors.get(rec.get("metric"))
+        if not isinstance(fl, dict):
+            continue
+        if rec["value"] < fl["floor"] * slack:
+            fails.append(
+                f"{rec['metric']}: {rec['value']:.1f} < {slack:.0%} of "
+                f"floor {fl['floor']:.1f} (best {fl.get('best')})")
+    return fails
+
+
 def main():
     from arec.train.step import make_optimizer
 
@@ -426,6 +493,15 @@ def main():
     with open("BASELINE_RUNS.jsonl", "a") as f:
         for rec in out:
             f.write(json.dumps(rec) + "\n")
+
+    if "--check" in sys.argv:
+        fails = check_floors(out)
+        for f in fails:
+            print(f"[floor-check] FAIL {f}", flush=True)
+        if fails:
+            sys.exit(1)
+        print("[floor-check] all measured metrics within 20% of floor",
+              flush=True)
 
 
 if __name__ == "__main__":

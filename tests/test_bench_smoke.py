@@ -53,3 +53,22 @@ def test_bigvocab_sections_run_tiny(bench_all):
         "lstm_bigvocab_sparse_seqs_per_s_per_chip",
     }, metrics
     assert all(r["value"] > 0 for r in out)
+
+
+def test_check_floors_gate(bench_all, tmp_path):
+    """bench_all --check semantics: >20% below floor fails, within passes,
+    unknown metrics are ignored, missing floors file reports itself."""
+    import json
+    fp = tmp_path / "floors.json"
+    fp.write_text(json.dumps({
+        "_note": "test",
+        "m_a": {"floor": 100.0, "best": 300.0, "n_runs": 3},
+        "m_b": {"floor": 50.0, "best": 150.0, "n_runs": 2},
+    }))
+    out = [{"metric": "m_a", "value": 85.0},     # within 20% of floor: ok
+           {"metric": "m_b", "value": 39.0},     # 22% below floor: fail
+           {"metric": "unknown", "value": 1.0}]  # no floor: ignored
+    fails = bench_all.check_floors(out, str(fp))
+    assert len(fails) == 1 and "m_b" in fails[0]
+    assert bench_all.check_floors(out[:1], str(fp)) == []
+    assert bench_all.check_floors(out, str(tmp_path / "nope.json"))

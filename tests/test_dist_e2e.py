@@ -66,6 +66,32 @@ def test_sharded_mf_loss_and_grads_match_single_device(setup, mesh_shape):
                                        atol=1e-6, err_msg=f"{k}/{name}")
 
 
+@pytest.mark.parametrize("loss", ["warp", "bpr", "mw", "bbpr"])
+def test_sharded_nonce_losses_match_single_device(setup, loss):
+    """The whole loss table — not just ce — must hold the golden sharded-
+    equals-dense invariant on a (2,4) mesh (loss value + table grads)."""
+    cfg, ds, spec, params, user_dev, item_dev, batch = setup
+    from dataclasses import replace
+    lspec = replace(spec, loss=loss)
+    mesh = make_mesh(2, 4)
+    lookup = make_sharded_lookup(mesh)
+    params_p = _pad_params_tables(params, 4)
+    rng = jax.random.key(5)
+
+    l0, g0 = jax.value_and_grad(
+        lambda p: mf_loss(p, lspec, user_dev, item_dev, batch, rng,
+                          dense_lookup))(params)
+    l1, g1 = jax.jit(jax.value_and_grad(
+        lambda p: mf_loss(p, lspec, user_dev, item_dev, batch, rng,
+                          lookup)))(params_p)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+    for k in ("user", "item"):
+        for name, g in g0[k]["tables"].items():
+            got = np.asarray(g1[k]["tables"][name])[: g.shape[0]]
+            np.testing.assert_allclose(got, np.asarray(g), rtol=1e-4,
+                                       atol=1e-6, err_msg=f"{loss}/{k}/{name}")
+
+
 @pytest.mark.parametrize("mesh_shape", [(2, 4), (1, 8)])
 def test_sharded_topk_matches_dense(mesh_shape):
     rng = np.random.default_rng(0)
