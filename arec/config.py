@@ -33,6 +33,15 @@ class DataConfig:
     syn_items: int = 1500
     syn_interactions: int = 60000
     syn_seed: int = 0
+    syn_mulhot_degree: int = 0  # >0 → the VECTORIZED big-cardinality
+                                # generator (XING-true-scale rehearsals:
+                                # per-entity Python loops cost minutes at
+                                # U=1.5M) with ~this mean mulhot degree on
+                                # both sides; 0 = legacy small generator
+                                # (bit-identical to round-1/2 datasets)
+    syn_tag_vocab: int = 0      # mulhot tag vocab for the big generator
+                                # (0 → 4096; pick > dense_vocab_threshold
+                                # so the gather/exchange path is exercised)
 
 
 @dataclass(frozen=True)

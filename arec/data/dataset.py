@@ -117,22 +117,16 @@ def build_prepared(
     valid_users, valid_items = users[valid_mask], items[valid_mask]
 
     # seen lists over TRAIN interactions only (eval must not mask the target)
-    seen_lists: list[list[int]] = [[] for _ in range(num_users)]
-    for u, i in zip(train_users, train_items):
-        seen_lists[u].append(int(i))
-    # dedupe preserving order
-    for u in range(num_users):
-        seen_lists[u] = list(dict.fromkeys(seen_lists[u]))
-    max_seen = max(1, max(len(s) for s in seen_lists))
-    seen_items, seen_lengths = pad_mulhot(seen_lists, max_seen)
-
-    # per-user history, newest last, truncated to max_hist most-recent
-    hist_lists: list[list[int]] = [[] for _ in range(num_users)]
-    for u, i in zip(train_users, train_items):
-        hist_lists[u].append(int(i))
-    hist_lists = [h[-max_hist:] for h in hist_lists]
-    max_h = max(1, max(len(h) for h in hist_lists))
-    hist_items, hist_lengths = pad_mulhot(hist_lists, max_h)
+    # + per-user history, newest last, truncated to max_hist most-recent.
+    # Vectorized (identical output to the per-interaction loop it replaced,
+    # incl. first-occurrence order — tests/test_prep.py::
+    # test_vectorized_seen_hist_match_loop_reference): the XING-true-scale
+    # rehearsal preps tens of millions of interactions, where a Python loop
+    # per interaction costs minutes.
+    seen_items, seen_lengths = _padded_seen(train_users, train_items,
+                                            num_users, num_items)
+    hist_items, hist_lengths = _padded_hist(train_users, train_items,
+                                            num_users, max_hist)
 
     # full-data counts: item ids are frequency ranks over ALL interactions
     # (assigned at vocab-build time, before the split), so the stored freq
@@ -156,6 +150,39 @@ def build_prepared(
         hist_lengths=hist_lengths,
     )
     return ds
+
+
+def _pad_rows(users: np.ndarray, items: np.ndarray, num_users: int,
+              width_floor: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    """(user-sorted users, items) → padded-dense [num_users, max_len] int32
+    (PAD = -1) + lengths, preserving the given per-user order."""
+    lengths = np.bincount(users, minlength=num_users).astype(np.int32)
+    max_len = max(width_floor, int(lengths.max()) if len(users) else 0)
+    out = np.full((num_users, max_len), -1, np.int32)
+    starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    pos = np.arange(len(users)) - starts[users]
+    out[users, pos] = items
+    return out, lengths
+
+
+def _padded_seen(train_users, train_items, num_users: int, num_items: int):
+    """Per-user deduped seen items in FIRST-OCCURRENCE order (the arrays
+    arrive user-sorted then time-sorted, so first occurrence == earliest)."""
+    n = len(train_users)
+    key = train_users.astype(np.int64) * num_items + train_items
+    _, first = np.unique(key, return_index=True)
+    first.sort()                       # back to (user, time) order
+    return _pad_rows(train_users[first], train_items[first], num_users)
+
+
+def _padded_hist(train_users, train_items, num_users: int, max_hist: int):
+    """Per-user full history (newest last), truncated to the max_hist
+    most-recent interactions."""
+    lengths = np.bincount(train_users, minlength=num_users)
+    starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    pos = np.arange(len(train_users)) - starts[train_users]
+    keep = pos >= (lengths[train_users] - max_hist)
+    return _pad_rows(train_users[keep], train_items[keep], num_users)
 
 
 # --------------------------------------------------------------------------

@@ -216,3 +216,39 @@ def test_validate_prep_cli_roundtrip(ml1m_raw, tmp_path):
     shutil.copy(os.path.join(data_dir, "golden_ml1m.json"),
                 os.path.join(alt_dir, "golden_ml1m.json"))
     assert cli_main(drifted + ["--validate-prep"]) == 1
+
+
+def test_vectorized_seen_hist_match_loop_reference():
+    """build_prepared's vectorized seen/hist construction must reproduce
+    the per-interaction loop it replaced exactly — including the
+    first-occurrence dedupe order and the max_hist truncation."""
+    import numpy as np
+
+    from arec.data.dataset import _padded_hist, _padded_seen
+    from arec.data.schema import pad_mulhot
+
+    rng = np.random.default_rng(7)
+    num_users, num_items, n = 37, 23, 800
+    users = np.sort(rng.integers(0, num_users, n).astype(np.int32))
+    items = rng.integers(0, num_items, n).astype(np.int32)
+    max_hist = 9
+
+    # loop reference (the original implementation)
+    seen_lists = [[] for _ in range(num_users)]
+    hist_lists = [[] for _ in range(num_users)]
+    for u, i in zip(users, items):
+        seen_lists[u].append(int(i))
+        hist_lists[u].append(int(i))
+    seen_lists = [list(dict.fromkeys(s)) for s in seen_lists]
+    hist_lists = [h[-max_hist:] for h in hist_lists]
+    want_seen, want_sl = pad_mulhot(seen_lists,
+                                    max(1, max(map(len, seen_lists))))
+    want_hist, want_hl = pad_mulhot(hist_lists,
+                                    max(1, max(map(len, hist_lists))))
+
+    got_seen, got_sl = _padded_seen(users, items, num_users, num_items)
+    got_hist, got_hl = _padded_hist(users, items, num_users, max_hist)
+    np.testing.assert_array_equal(got_seen, want_seen)
+    np.testing.assert_array_equal(got_sl, want_sl)
+    np.testing.assert_array_equal(got_hist, want_hist)
+    np.testing.assert_array_equal(got_hl, want_hl)
