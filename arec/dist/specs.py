@@ -27,6 +27,16 @@ TABLE_AXIS = "model"
 TABLE_SPEC = P(TABLE_AXIS, None)
 REPLICATED = P()
 
+# Reserved batch key carrying the device attribute maps ({"user": attr_dev,
+# "item": attr_dev}) INTO the jitted step as an argument. Why: a jitted
+# function that merely closes over these arrays inlines them into the HLO
+# as constants — at XING cardinality the [1.5M, deg] mulhot indirection
+# maps alone exceed the remote compiler's request limit (HTTP 413, the
+# CLAUDE.md gotcha, hit for real in the round-3 full-scale rehearsal).
+# The Trainer attaches this key at dispatch; loss/step cores fall back to
+# their closures when it is absent (small-attr tests and benches).
+DEVS_KEY = "__devs__"
+
 
 def _is_table_path(path) -> bool:
     keys = [getattr(p, "key", getattr(p, "name", None)) for p in path]
@@ -42,17 +52,23 @@ def param_pspecs(params):
 
 
 def batch_pspec(batch):
-    """P("data", ...) on every batch tensor."""
-    return jax.tree_util.tree_map(
-        lambda leaf: P(DATA_AXIS, *([None] * (leaf.ndim - 1))), batch)
+    """P("data", ...) on every batch tensor; the reserved DEVS_KEY subtree
+    (attribute maps) is replicated."""
+    out = {k: jax.tree_util.tree_map(
+        (lambda leaf: P()) if k == DEVS_KEY else
+        (lambda leaf: P(DATA_AXIS, *([None] * (leaf.ndim - 1)))), v)
+        for k, v in batch.items()}
+    return out
 
 
 def stacked_pspec(batch):
     """P(None, "data", ...) on every K-stacked [K, B, ...] batch tensor
     (steps_per_dispatch > 1: the scan axis is unsharded, the batch axis
-    keeps its data sharding)."""
-    return jax.tree_util.tree_map(
-        lambda leaf: P(None, DATA_AXIS, *([None] * (leaf.ndim - 2))), batch)
+    keeps its data sharding); DEVS_KEY (never stacked) is replicated."""
+    return {k: jax.tree_util.tree_map(
+        (lambda leaf: P()) if k == DEVS_KEY else
+        (lambda leaf: P(None, DATA_AXIS, *([None] * (leaf.ndim - 2)))), v)
+        for k, v in batch.items()}
 
 
 def shardings(mesh, pspecs):

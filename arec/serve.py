@@ -90,11 +90,13 @@ class Recommender:
     # ------------------------------------------------------------------
     def _run(self, batches):
         """batches: iterable of dicts with fixed shapes → [N, k] ids."""
+        from arec.dist.specs import DEVS_KEY
         ids_out = []
         v, b = self._vb
         for batch, n_valid in batches:
             jb = {kk: jnp.asarray(x) for kk, x in batch.items()
                   if kk != "seen"}
+            jb[DEVS_KEY] = self._trainer._devs   # maps as jit args
             _, ids = self._step(self._params, v, b, jb,
                                 jnp.asarray(batch["seen"]))
             ids_out.append(np.asarray(ids)[:n_valid])

@@ -174,6 +174,14 @@ class Trainer:
             if self.user_dev is not None:
                 self.user_dev = put(self.user_dev)
 
+        # device attribute maps ride into every jitted step as ARGUMENTS
+        # under the reserved DEVS_KEY (closed-over maps inline into the HLO
+        # as constants — at XING cardinality that exceeds the remote
+        # compiler's request limit; arec.dist.specs.DEVS_KEY)
+        self._devs = {"item": self.item_dev}
+        if self.user_dev is not None:
+            self._devs["user"] = self.user_dev
+
         # ---- sampler proposal (sampler="pop": empirical popularity^α over
         # the dataset's train item counts; log_uniform/uniform need no state)
         if cfg.train.sampler == "pop":
@@ -322,9 +330,10 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _loss_fn(self):
-        spec, item_dev, user_dev, lookup = (
-            self.spec, self.item_dev, self.user_dev, self.lookup)
+        spec, lookup = self.spec, self.lookup
+        default_item, default_user = self.item_dev, self.user_dev
         lookup_fns = self.lookups or None
+        from arec.train.step import split_devs
         # the Pallas fused-CE kernel does not partition under GSPMD, so the
         # mesh path routes it through an inner shard_map (rows split over
         # every mesh axis — arec/kernels/sampled_softmax.py); the size
@@ -339,12 +348,18 @@ class Trainer:
         pop = self.pop
         if self.is_seq:
             def loss_fn(p, batch, rng):
+                batch, devs = split_devs(batch)
+                item_dev = devs["item"] if devs else default_item
+                user_dev = devs.get("user") if devs else default_user
                 return seq_mod.seq_loss(p, spec, item_dev, user_dev, batch,
                                         rng, lookup, lookup_fns=lookup_fns,
                                         mesh=mesh,
                                         time_major=time_major, pop=pop)
         else:
             def loss_fn(p, batch, rng):
+                batch, devs = split_devs(batch)
+                item_dev = devs["item"] if devs else default_item
+                user_dev = devs.get("user") if devs else default_user
                 return mf_mod.mf_loss(p, spec, user_dev, item_dev, batch,
                                       rng, lookup, lookup_fns=lookup_fns,
                                       mesh=mesh, pop=pop)
@@ -405,27 +420,33 @@ class Trainer:
                           self.host_id, self.num_hosts)
 
     def _stage_batch(self, jb):
-        """Host-local numpy batch → device arrays for one step. On a
-        multi-process run every leaf becomes a GLOBAL array sharded
-        P("data") (arec.dist.global_io.shard_from_hosts); otherwise the
-        prefetcher already device_put the leaves and this is identity."""
-        if not self.multiproc:
-            return jb
-        sh = shardings(self.mesh, batch_pspec(jb))
-        return jax.tree_util.tree_map(shard_from_hosts, jb, sh)
+        """Host-local numpy batch → device arrays for one step, with the
+        attribute maps attached under DEVS_KEY (jit arguments, not HLO
+        constants). On a multi-process run every data leaf becomes a
+        GLOBAL array sharded P("data") (arec.dist.global_io); otherwise
+        the prefetcher already device_put the leaves."""
+        from arec.dist.specs import DEVS_KEY
+        if self.multiproc:
+            sh = shardings(self.mesh, batch_pspec(jb))
+            jb = jax.tree_util.tree_map(shard_from_hosts, jb, sh)
+        return {**jb, DEVS_KEY: self._devs}
 
     def _stage_stacked(self, pending):
         """K host batches → one stacked [K, B, ...] dispatch block with the
         batch axis data-sharded (multi-process: global arrays via the
-        bridge; single-process: plain stack, GSPMD re-shards in-jit)."""
+        bridge; single-process: plain stack, GSPMD re-shards in-jit).
+        DEVS_KEY rides unstacked (scan-invariant — step.scan_multi)."""
+        from arec.dist.specs import DEVS_KEY
         if not self.multiproc:
-            return {kk: jnp.stack([p[kk] for p in pending])
-                    for kk in pending[0]}
-        from arec.dist.specs import stacked_pspec
-        stacked = {kk: np.stack([np.asarray(p[kk]) for p in pending])
-                   for kk in pending[0]}
-        sh = shardings(self.mesh, stacked_pspec(stacked))
-        return jax.tree_util.tree_map(shard_from_hosts, stacked, sh)
+            stacked = {kk: jnp.stack([p[kk] for p in pending])
+                       for kk in pending[0]}
+        else:
+            from arec.dist.specs import stacked_pspec
+            stacked = {kk: np.stack([np.asarray(p[kk]) for p in pending])
+                       for kk in pending[0]}
+            sh = shardings(self.mesh, stacked_pspec(stacked))
+            stacked = jax.tree_util.tree_map(shard_from_hosts, stacked, sh)
+        return {**stacked, DEVS_KEY: self._devs}
 
     def _eval_params(self):
         """Plain param tree for eval paths (sparse Adagrad stores tables
@@ -437,24 +458,40 @@ class Trainer:
         return self.state.params
 
     def _item_latents(self, params=None):
+        """All-item latent matrix, jitted with (params, item_dev) as
+        ARGUMENTS — the lax.map inside encode_all_items would otherwise
+        capture the attribute maps as constants (remote-compile 413 at
+        XING cardinality)."""
         params = self._eval_params() if params is None else params
-        if self.is_seq:
-            return seq_mod.seq_item_latents(
-                params, self.spec, self.item_dev,
-                lookup_fn=self.eval_lookups.get("item", dense_lookup),
-                out_lookup=self._out_lookup)
-        return mf_mod.mf_item_latents(
-            params, self.spec, self.item_dev,
-            lookup_fn=self.eval_lookups.get("item", dense_lookup))
+        if getattr(self, "_lat_jit", None) is None:
+            spec = self.spec
+            lookup = self.eval_lookups.get("item", dense_lookup)
+            if self.is_seq:
+                out_lookup = self._out_lookup
+                self._lat_jit = jax.jit(
+                    lambda p, dev: seq_mod.seq_item_latents(
+                        p, spec, dev, lookup_fn=lookup,
+                        out_lookup=out_lookup))
+            else:
+                self._lat_jit = jax.jit(
+                    lambda p, dev: mf_mod.mf_item_latents(
+                        p, spec, dev, lookup_fn=lookup))
+        return self._lat_jit(params, self.item_dev)
 
     def _query_fn(self, params, batch):
+        """Eval/serve query encode; attribute maps come from the batch's
+        DEVS_KEY when present (jit-argument path), else the closures."""
+        from arec.train.step import split_devs
+        batch, devs = split_devs(batch)
+        item_dev = devs["item"] if devs else self.item_dev
+        user_dev = (devs.get("user") if devs else self.user_dev)
         if self.is_seq:
             return seq_mod.seq_final_state_full(
-                params, self.spec, self.item_dev, self.user_dev, batch,
+                params, self.spec, item_dev, user_dev, batch,
                 lookup_fn=self.eval_lookups.get("item", dense_lookup),
                 lookup_fns=self.eval_lookups or None)
         return mf_mod.mf_user_latents(
-            params, self.spec, self.user_dev, batch["user"],
+            params, self.spec, user_dev, batch["user"],
             lookup_fn=self.eval_lookups.get("user", dense_lookup))
 
     def _queries(self, batch):
@@ -526,10 +563,11 @@ class Trainer:
         contributes its slab of the global batch (P("data") leaves via
         arec.dist.global_io); single-process: plain host arrays (jit
         re-shards)."""
+        from arec.dist.specs import DEVS_KEY
         if not self.multiproc:
-            return ({kk: jnp.asarray(x) for kk, x in batch.items()},
-                    jnp.asarray(seen))
-        jb = self._stage_batch(batch)
+            jb = {kk: jnp.asarray(x) for kk, x in batch.items()}
+            return {**jb, DEVS_KEY: self._devs}, jnp.asarray(seen)
+        jb = self._stage_batch(batch)   # attaches DEVS_KEY
         sh = NamedSharding(self.mesh, P(DATA_AXIS, None))
         return jb, shard_from_hosts(np.asarray(seen), sh)
 

@@ -247,6 +247,12 @@ def make_sparse_step_core(
     paths = table_paths(is_seq, spec)
 
     def step(state: TrainState, batch, rng):
+        from arec.train.step import split_devs
+        batch, devs = split_devs(batch)
+        # attribute maps as jit arguments when the caller attaches DEVS_KEY
+        # (Trainer dispatch); fall back to the factory closures otherwise
+        idev = devs["item"] if devs else item_dev
+        udev = devs.get("user") if devs else user_dev
         params = state.params
         lr = base_lr * state.lr_scale
 
@@ -258,7 +264,7 @@ def make_sparse_step_core(
                        pop)
 
         # 2. touched rows per table (static shapes; sentinel-padded unique)
-        specs = collect(spec, user_dev, item_dev, batch, sampled[0])
+        specs = collect(spec, udev, idev, batch, sampled[0])
         uids = {s.role: unique_rows(ids, total)
                 for s, ids, total in specs}
 
@@ -288,11 +294,11 @@ def make_sparse_step_core(
             if is_seq:
                 # time-major: this step is single-device only, so the
                 # sharding-locality caveat of the mesh path doesn't apply
-                return seq_mod.seq_loss(p, spec, item_dev, user_dev, batch,
+                return seq_mod.seq_loss(p, spec, idev, udev, batch,
                                         rng, lookup_fns=lookup_fns,
                                         sampled=sampled, time_major=True,
                                         pop=pop)
-            return mf_mod.mf_loss(p, spec, user_dev, item_dev, batch, rng,
+            return mf_mod.mf_loss(p, spec, udev, idev, batch, rng,
                                   lookup_fns=lookup_fns, sampled=sampled,
                                   pop=pop)
 

@@ -223,6 +223,10 @@ def make_sparse_mesh_step_core(
     packed = optimizer == "adagrad"
 
     def device_step(state: TrainState, batch, rng):
+        from arec.train.step import split_devs
+        batch, devs = split_devs(batch)
+        idev = devs["item"] if devs else item_dev
+        udev = devs.get("user") if devs else user_dev
         params = state.params
         lr = base_lr * state.lr_scale
 
@@ -232,7 +236,7 @@ def make_sparse_mesh_step_core(
         sampled = draw(r_neg, spec.num_sampled, vocab, spec.sampler, pop)
 
         # 2. touched rows per table, per DATA shard
-        specs = collect(spec, user_dev, item_dev, batch, sampled[0])
+        specs = collect(spec, udev, idev, batch, sampled[0])
         uids = {s.role: unique_rows(ids, total) for s, ids, total in specs}
 
         # 3. subset rows through the exchange ([dense prefix ++ touched])
@@ -264,11 +268,11 @@ def make_sparse_mesh_step_core(
             for role, sub in subs.items():
                 p = set_path(p, by_role[role].path, sub)
             if is_seq:
-                return seq_mod.seq_loss(p, spec, item_dev, user_dev, batch,
+                return seq_mod.seq_loss(p, spec, idev, udev, batch,
                                         rng_dev, lookup_fns=lookup_fns,
                                         sampled=sampled, time_major=True,
                                         pop=pop)
-            return mf_mod.mf_loss(p, spec, user_dev, item_dev, batch,
+            return mf_mod.mf_loss(p, spec, udev, idev, batch,
                                   rng_dev, lookup_fns=lookup_fns,
                                   sampled=sampled, pop=pop)
 
@@ -317,9 +321,12 @@ def make_sparse_mesh_step_core(
         return new_state, {"loss": loss, "lr": lr}
 
     def wrap(state: TrainState, batch, rng):
+        from arec.dist.specs import DEVS_KEY
         st_specs = sparse_mesh_state_pspecs(state)
-        b_specs = jax.tree_util.tree_map(
-            lambda leaf: P(DATA_AXIS, *([None] * (leaf.ndim - 1))), batch)
+        b_specs = {k: jax.tree_util.tree_map(
+            (lambda leaf: P()) if k == DEVS_KEY else
+            (lambda leaf: P(DATA_AXIS, *([None] * (leaf.ndim - 1)))), v)
+            for k, v in batch.items()}
         # check_vma=False: the checker cannot statically infer that the
         # updated table shards are data-replicated — they are, because every
         # data replica all_gathers the SAME contribution set over "data"

@@ -91,15 +91,36 @@ def make_train_step(
                    donate_argnums=(0,) if donate else ())
 
 
+def split_devs(batch):
+    """(batch-without-DEVS_KEY, devs-or-None). Step cores call this and
+    fall back to their closed-over attribute maps when devs is None — the
+    Trainer attaches DEVS_KEY so big-attr maps enter the jit as ARGUMENTS
+    instead of HLO constants (arec.dist.specs.DEVS_KEY rationale)."""
+    from arec.dist.specs import DEVS_KEY
+    if isinstance(batch, dict) and DEVS_KEY in batch:
+        batch = dict(batch)
+        return batch, batch.pop(DEVS_KEY)
+    return batch, None
+
+
 def scan_multi(core: Callable) -> Callable:
     """Wrap any step core (state, batch, rng) -> (state, metrics) into
     multi(state, batches, rngs) scanning a leading K axis: one lax.scan =
     one XLA program = one host→device dispatch. Metrics come back as [K]
-    arrays."""
+    arrays. A DEVS_KEY entry in `batches` is NOT scanned — it rides as a
+    scan-invariant and is re-attached to each step's batch."""
+    from arec.dist.specs import DEVS_KEY
 
     def multi(state: TrainState, batches, rngs):
+        devs = None
+        if isinstance(batches, dict) and DEVS_KEY in batches:
+            batches = dict(batches)
+            devs = batches.pop(DEVS_KEY)
+
         def body(st, inp):
             b, r = inp
+            if devs is not None:
+                b = {**b, DEVS_KEY: devs}
             st, m = core(st, b, r)
             return st, m
 

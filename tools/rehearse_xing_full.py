@@ -78,7 +78,11 @@ def _bench_train(tr, label, n_dispatch=8, warmup=2):
     for b in tr._batches(0):
         cur.append({k: jnp.asarray(v) for k, v in b.items()})
         if len(cur) == K:
-            blocks.append({k: jnp.stack([x[k] for x in cur]) for k in cur[0]})
+            # Trainer staging attaches the attribute maps under DEVS_KEY so
+            # they enter the jit as arguments (raw batches here reproduced
+            # the closure-constant 413 at full scale)
+            blocks.append(tr._stage_stacked(cur) if K > 1
+                          else tr._stage_batch(cur[0]))
             cur = []
         if len(blocks) == 2:
             break
@@ -127,8 +131,7 @@ def _bench_eval(tr, max_batches=200):
     n = 0
     t0 = time.time()
     for batch in eval_batches(tr.ds, 256):
-        jb = {kk: jnp.asarray(x) for kk, x in batch.items()}
-        seen = jnp.asarray(tr.ds.seen_items[batch["user"]])
+        jb, seen = tr._stage_eval(batch, tr.ds.seen_items[batch["user"]])
         h, t = step(params, v, b, jb, seen)
         hits += float(h); total += float(t); n += 1
         if n == 1:
