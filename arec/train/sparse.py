@@ -92,31 +92,41 @@ def _adagrad_rows(p_rows, a_rows, g_rows, lr):
     return p_rows - lr * g_rows * inv, a_new
 
 
+def _row_indices(uids, prefix: int):
+    """[prefix-ids ++ uids] — still sorted+unique (the fused layout puts
+    the dense prefix FIRST, so every gather-region uid is ≥ prefix)."""
+    if not prefix:
+        return uids
+    return jnp.concatenate(
+        [jnp.arange(prefix, dtype=uids.dtype), uids])
+
+
 def _apply_packed_adagrad(packed, sub_packed, g_sub, uids, prefix, lr):
     """One in-place (donated) update of the touched PACKED rows: the new
     (param, accum) halves are computed from the already-gathered subset
-    rows, so the write-back is a single row scatter per table."""
+    rows, so the write-back is a single row scatter per table.
+
+    The dense prefix rides the SAME scatter (not a dynamic_update_slice):
+    XLA fused DUS+scatter into a full-table pass — the xplane trace of the
+    XING-scale step showed the two table updates costing 6.5+4.8 ms/step
+    (~a 2.7 GB whole-table read+write) for only ~14k touched rows."""
     d = packed.shape[1] // 2
     p_new, a_new = _adagrad_rows(sub_packed[:, :d], sub_packed[:, d:],
                                  g_sub, lr)
     new_rows = jnp.concatenate([p_new, a_new], axis=1)
-    if prefix:
-        packed = jax.lax.dynamic_update_slice(packed, new_rows[:prefix],
-                                              (0, 0))
-    if uids.shape[0]:
-        packed = packed.at[uids].set(
-            new_rows[prefix:], mode="drop",
+    idx = _row_indices(uids, prefix)
+    if idx.shape[0]:
+        packed = packed.at[idx].set(
+            new_rows, mode="drop",
             unique_indices=True, indices_are_sorted=True)
     return packed
 
 
 def _apply_sgd(table, g_sub, uids, prefix, lr):
-    if prefix:
-        table = jax.lax.dynamic_update_slice(
-            table, table[:prefix] - lr * g_sub[:prefix], (0, 0))
-    if uids.shape[0]:
-        table = table.at[uids].add(
-            -lr * g_sub[prefix:], mode="drop",
+    idx = _row_indices(uids, prefix)
+    if idx.shape[0]:
+        table = table.at[idx].add(
+            -lr * g_sub, mode="drop",
             unique_indices=True, indices_are_sorted=True)
     return table
 
@@ -126,20 +136,30 @@ def _apply_sgd(table, g_sub, uids, prefix, lr):
 # ---------------------------------------------------------------------------
 
 def _mf_tables(spec, user_dev, item_dev, batch, neg_ids):
+    """Per-role (spec, touched gather-row ids, total rows, unique bound).
+    The bound (engine.gather_unique_bound) statically caps the sorted-
+    unique vector so every touched-rows op is sized by what CAN be unique,
+    not by the raw id count."""
+    from arec.tables.engine import gather_unique_bound
     cand = jnp.concatenate([batch["pos_item"], neg_ids])
+    nb = batch["user"].shape[0]
     return [
         (SparseTableSpec("user", ("user", "tables", FUSED),
                          spec.user.dense_region_rows),
          gather_row_ids(spec.user, user_dev, batch["user"]),
-         spec.user.total_rows),
+         spec.user.total_rows,
+         gather_unique_bound(spec.user, nb)),
         (SparseTableSpec("item", ("item", "tables", FUSED),
                          spec.item.dense_region_rows),
          gather_row_ids(spec.item, item_dev, cand),
-         spec.item.total_rows),
+         spec.item.total_rows,
+         gather_unique_bound(spec.item, cand.shape[0])),
     ]
 
 
 def _seq_tables(spec, user_dev, item_dev, batch, neg_ids):
+    """Sequence-family counterpart of _mf_tables (same 4-tuple)."""
+    from arec.tables.engine import gather_unique_bound
     in_ids = batch["inputs"].reshape(-1)
     tgt = batch["targets"].reshape(-1)
     if spec.tie_output:
@@ -148,17 +168,21 @@ def _seq_tables(spec, user_dev, item_dev, batch, neg_ids):
         (SparseTableSpec("item", ("item_in", "tables", FUSED),
                          spec.item_in.dense_region_rows),
          gather_row_ids(spec.item_in, item_dev, in_ids),
-         spec.item_in.total_rows),
+         spec.item_in.total_rows,
+         gather_unique_bound(spec.item_in, in_ids.shape[0])),
     ]
     if spec.user is not None:
         out.append((SparseTableSpec("user", ("user", "tables", FUSED),
                                     spec.user.dense_region_rows),
                     gather_row_ids(spec.user, user_dev, batch["user"]),
-                    spec.user.total_rows))
+                    spec.user.total_rows,
+                    gather_unique_bound(spec.user, batch["user"].shape[0])))
     if not spec.tie_output:
+        n_out = tgt.shape[0] + neg_ids.shape[0]
         out.append((SparseTableSpec("out", ("item_out",), 0),
                     jnp.concatenate([tgt, neg_ids]),
-                    spec.vocab + 1))
+                    spec.vocab + 1,
+                    min(n_out, spec.vocab + 1)))
     return out
 
 
@@ -265,8 +289,8 @@ def make_sparse_step_core(
 
         # 2. touched rows per table (static shapes; sentinel-padded unique)
         specs = collect(spec, udev, idev, batch, sampled[0])
-        uids = {s.role: unique_rows(ids, total)
-                for s, ids, total in specs}
+        uids = {s.role: unique_rows(ids, total, cap=bound)
+                for s, ids, total, bound in specs}
 
         # 3. loss over subset tables (O(1) position-map lookups). With
         # packed Adagrad the subset gather brings param+accum halves in
@@ -274,7 +298,7 @@ def make_sparse_step_core(
         packed = optimizer == "adagrad"
         sub_full = {s.role: build_subset(get_path(params, s.path),
                                          uids[s.role], s.prefix)
-                    for s, _, _ in specs}
+                    for s, *_ in specs}
         if packed:
             subs = {role: f[:, : f.shape[1] // 2]
                     for role, f in sub_full.items()}
@@ -283,9 +307,9 @@ def make_sparse_step_core(
         lookup_fns = {
             s.role: make_subset_lookup(
                 subset_pos_map(uids[s.role], total, s.prefix), s.prefix)
-            for s, _, total in specs if uids[s.role].shape[0]}
+            for s, _, total, _ in specs if uids[s.role].shape[0]}
         rest = _strip_tables(params, paths)
-        by_role = {s.role: s for s, _, _ in specs}
+        by_role = {s.role: s for s, *_ in specs}
 
         def loss_f(subs, rest):
             p = rest
@@ -314,7 +338,7 @@ def make_sparse_step_core(
 
         # 4b. tables: manual touched-rows update (one scatter per table)
         new_params = new_rest
-        for s, _, _ in specs:
+        for s, *_ in specs:
             table = get_path(params, s.path)
             if packed:
                 table = _apply_packed_adagrad(

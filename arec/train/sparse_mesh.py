@@ -237,11 +237,12 @@ def make_sparse_mesh_step_core(
 
         # 2. touched rows per table, per DATA shard
         specs = collect(spec, udev, idev, batch, sampled[0])
-        uids = {s.role: unique_rows(ids, total) for s, ids, total in specs}
+        uids = {s.role: unique_rows(ids, total, cap=bound)
+                for s, ids, total, bound in specs}
 
         # 3. subset rows through the exchange ([dense prefix ++ touched])
         sub_full, req_stored, by_role, totals = {}, {}, {}, {}
-        for s, _, total in specs:
+        for s, _, total, _ in specs:
             by_role[s.role], totals[s.role] = s, total
             table = get_path(params, s.path)
             vp = table.shape[0] * jax.lax.axis_size(TABLE_AXIS)
@@ -256,7 +257,7 @@ def make_sparse_mesh_step_core(
         lookup_fns = {
             s.role: make_subset_lookup(
                 subset_pos_map(uids[s.role], total, s.prefix), s.prefix)
-            for s, _, total in specs if uids[s.role].shape[0]}
+            for s, _, total, _ in specs if uids[s.role].shape[0]}
         rest = _strip_tables(params, paths)
 
         # 4. loss over the subsets; dropout rng decorrelated per data shard
@@ -305,7 +306,7 @@ def make_sparse_mesh_step_core(
 
         # 5b. tables: reverse exchange + touched-rows optimizer
         new_params = new_rest
-        for s, _, _ in specs:
+        for s, *_ in specs:
             g = g_subs[s.role] * scale      # local-mean → global-mean grads
             table = get_path(params, s.path)
             table = _scatter_rows_update(table, req_stored[s.role], g, lr,

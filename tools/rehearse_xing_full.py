@@ -107,6 +107,15 @@ def _bench_train(tr, label, n_dispatch=8, warmup=2):
         jax.block_until_ready(state.params)
         times.append(time.perf_counter() - t0)
     med = sorted(times)[len(times) // 2]
+    prof = None
+    for i, a in enumerate(sys.argv):
+        if a == "--profile" and i + 1 < len(sys.argv):
+            prof = sys.argv[i + 1]
+    if prof:
+        with jax.profiler.trace(prof):
+            state, m = run(state, blocks[0], step); step += K
+            jax.block_until_ready(state.params)
+        rec(metric=f"xing_full_{label}_trace", dir=prof)
     bsz = tr.cfg.train.batch_size
     c = tr.cfg
     rec(metric=f"xing_full_{label}_examples_per_s_per_chip",
@@ -225,6 +234,9 @@ def main():
     rec(metric="xing_full_trainer_init_s", value=round(time.time() - t0, 1),
         peak_hbm_gb=hbm_peak_gb())
     _bench_train(tr, "sparse")
+    if "--only-train" in sys.argv:
+        print("TPU OK", flush=True)
+        return
     v, b = _bench_eval(tr)
     _bench_retrieval(v, b)
     _bench_ckpt(tr)
