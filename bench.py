@@ -40,12 +40,16 @@ from arec.train.step import init_state, make_multi_step, make_optimizer
 # fused-CE kernel auto-enables (arec/losses/losses.py _KERNEL_MIN_ROWS)
 # for another +15%: 4.14M. 32768 is the sweet spot.
 BATCH = 32768
-K = 16         # steps per dispatch (train.steps_per_dispatch): one lax.scan
+K = 256        # steps per dispatch (train.steps_per_dispatch): one lax.scan
                # jit per K steps amortizes the tunnel's per-dispatch fixed
                # overhead (measured 0.6-11 ms depending on tunnel load).
-               # Interleaved A/B (tools/ab_k.py, BASELINE.md): K=16 sustains
-               # 12.85M ex/s vs 7.04M at K=4 under an 11 ms-overhead tunnel
-WARMUP, STEPS = 2, 12  # in units of K-step dispatches
+               # Round-3 interleaved ladder (tools/ab_k.py, BASELINE.md):
+               # 11.15M @K16 → 13.58M @K32 → 15.13M @K64 → 15.42M @K128 →
+               # 16.56M @K256 (95% of the 17.5M device-busy ceiling at this
+               # shape — the knee; K=512 would buy ≤3% for 2× the buffer).
+               # Checked-in TRAINING configs keep K=8 for checkpoint/metric
+               # granularity; the bench measures the throughput ceiling.
+WARMUP, STEPS = 2, 8   # in units of K-step dispatches
 
 
 def main() -> None:
@@ -72,16 +76,20 @@ def main() -> None:
     step = make_multi_step(loss_fn, opt, cfg.train.learning_rate)
 
     # pre-stage two K-stacked dispatch blocks of device batches so host time
-    # is out of the loop
-    blocks, cur = [], []
-    for b in mf_batches(ds, BATCH, 0, 0):
-        cur.append(b)
-        if len(cur) == K:
-            blocks.append({k: jnp.stack([jnp.asarray(x[k]) for x in cur])
-                           for k in cur[0]})
-            cur = []
-        if len(blocks) == 2:
-            break
+    # is out of the loop (one epoch holds ~18 flagship batches — cycle
+    # across epochs for deep K; varied inputs defeat CSE either way)
+    blocks, cur, epoch = [], [], 0
+    while len(blocks) < 2:
+        for b in mf_batches(ds, BATCH, 0, epoch):
+            cur.append(b)
+            if len(cur) == K:
+                blocks.append(
+                    {k: jnp.stack([jnp.asarray(x[k]) for x in cur])
+                     for k in cur[0]})
+                cur = []
+            if len(blocks) == 2:
+                break
+        epoch += 1
     base = jax.random.key(1)
     gstep = 0
 

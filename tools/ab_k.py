@@ -59,12 +59,15 @@ def main():
     def loss_fn(p, batch, rng):
         return mf_loss(p, spec, user_dev, item_dev, batch, rng)
 
-    # one K-stacked device block per K (sliced views of the same batches)
+    # one K-stacked device block per K (sliced views of the same batches;
+    # the epoch holds ~18 flagship batches — cycle for deeper K)
     raw = []
     for b in mf_batches(ds, BATCH, 0, 0):
         raw.append(b)
         if len(raw) == kmax:
             break
+    while len(raw) < kmax:
+        raw = (raw + raw)[:kmax]
     blocks = {k: {key: jnp.stack([jnp.asarray(x[key]) for x in raw[:k]])
                   for key in raw[0]} for k in ks}
 
