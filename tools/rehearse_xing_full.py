@@ -46,6 +46,11 @@ CFG = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 def rec(**kw):
     kw["t"] = round(time.time(), 1)
     print(json.dumps(kw), flush=True)
+    if "--small" not in sys.argv and jax.default_backend() == "tpu":
+        with open(os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "BASELINE_RUNS.jsonl"),
+                "a") as f:
+            f.write(json.dumps(kw) + "\n")
 
 
 def hbm_peak_gb():
