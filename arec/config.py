@@ -94,6 +94,13 @@ class TrainConfig:
     sampler_power: float = 1.0  # α distortion for sampler="pop"
     seed: int = 0
     eval_topk: int = 30         # Recall@30 is the graded metric (BASELINE.json:2)
+    eval_batch_size: int = 256  # rows per eval dispatch; raise at production
+                                # vocab (V=1.3M measured dispatch-bound at
+                                # 256 — BASELINE.md XING rehearsal)
+    eval_max_batches: int = 0   # 0 = sweep every held-out row; else cap the
+                                # periodic eval to this many batches per
+                                # host (a uniform strided subsample — the
+                                # final/reported eval should use 0)
     serve_recall_target: float = 1.0  # recommend-mode selection: 1.0 = exact
                                 # top-k; <1 = approx_max_k serving mode
                                 # (~10x qps at V=300k, per-element recall ≥

@@ -69,7 +69,11 @@ class Recommender:
 
     def __init__(self, cfg: Config, k: int | None = None,
                  serve_batch: int = 256, seen_width: int | None = None):
-        self._trainer = Trainer(cfg)
+        # serve_only: restore into eval_shape targets — no random init and
+        # no optimizer-state allocation (at XING scale those are ~6 GB of
+        # transient HBM the restore would immediately overwrite), and no
+        # train-step construction; startup is restore + item-latent encode
+        self._trainer = Trainer(cfg, serve_only=True)
         if self._trainer.ckpt.latest_step() is None:
             raise FileNotFoundError(
                 f"no checkpoint under {cfg.train.train_dir!r} — refusing to "

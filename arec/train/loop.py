@@ -66,9 +66,16 @@ def _pad_params_tables(params, model_size: int):
 
 
 class Trainer:
-    def __init__(self, cfg: Config):
+    def __init__(self, cfg: Config, serve_only: bool = False):
+        """serve_only=True builds a RESTORE-ONLY trainer: the train state is
+        shaped with jax.eval_shape (no random init, no optimizer-state
+        allocation — at XING scale those are ~6 GB of transient HBM that
+        the checkpoint restore would immediately overwrite) and the step
+        functions are never built. Serving paths (_item_latents,
+        _serve_step, evaluate, recommend) work as usual; train() raises."""
         multihost_init()
         self.cfg = cfg
+        self.serve_only = serve_only
         self.host_id, self.num_hosts = host_info()
         self.ds = load_or_prepare(cfg.data)
         self.is_seq = cfg.model.model == "lstm"
@@ -97,7 +104,7 @@ class Trainer:
         if self.is_seq:
             self.spec = seq_mod.SeqSpec.from_config(
                 cfg, self.ds.user_schema, self.ds.item_schema)
-            params = seq_mod.init_seq(key, self.spec)
+            init_params = lambda: seq_mod.init_seq(key, self.spec)
             self.item_dev = attrs_to_device(
                 self.ds.item_attrs.restrict(self.spec.item_in.schema),
                 self.spec.item_in)
@@ -108,7 +115,7 @@ class Trainer:
         else:
             self.spec = mf_mod.MFSpec.from_config(
                 cfg, self.ds.user_schema, self.ds.item_schema)
-            params = mf_mod.init_mf(key, self.spec)
+            init_params = lambda: mf_mod.init_mf(key, self.spec)
             self.item_dev = attrs_to_device(
                 self.ds.item_attrs.restrict(self.spec.item.schema),
                 self.spec.item)
@@ -149,18 +156,30 @@ class Trainer:
         elif cfg.train.compact_table_grads and not self.use_mesh:
             from arec.tables.engine import make_compact_lookup
             self.lookup = make_compact_lookup()
-        if self.perms:
-            # fresh-init tables → stored (shuffle) layout; checkpoints stay
-            # in NATURAL layout (see _canonical_state)
-            params = self._tree_permute(params)
+        def build_params():
+            p = init_params()
+            if self.perms:
+                # fresh-init tables → stored (shuffle) layout; checkpoints
+                # stay in NATURAL layout (see _canonical_state)
+                p = self._tree_permute(p)
+            if self.use_mesh:
+                p = _pad_params_tables(p, mcfg.model)
+            return p
 
-        if self.use_mesh:
-            params = _pad_params_tables(params, mcfg.model)
-            self.param_sh = shardings(self.mesh, param_pspecs(params))
-            # init is deterministic-same-seed on every process, so each
-            # process materializes just its addressable shards of the same
-            # global params (single-process: plain device_put)
-            params = tree_put_replicated(params, self.param_sh)
+        if self.serve_only:
+            # restore-only: shapes without allocation (jax.eval_shape) —
+            # the checkpoint provides the real values
+            params = jax.eval_shape(build_params)
+            if self.use_mesh:
+                self.param_sh = shardings(self.mesh, param_pspecs(params))
+        else:
+            params = build_params()
+            if self.use_mesh:
+                self.param_sh = shardings(self.mesh, param_pspecs(params))
+                # init is deterministic-same-seed on every process, so each
+                # process materializes just its addressable shards of the
+                # same global params (single-process: plain device_put)
+                params = tree_put_replicated(params, self.param_sh)
 
         if self.multiproc:
             # device-side attribute tables enter every jitted step/eval as
@@ -193,7 +212,32 @@ class Trainer:
         # ---- optimizer + step ----------------------------------------
         self.opt = make_optimizer(cfg.train.optimizer, cfg.train.learning_rate)
         self.sparse = cfg.train.sparse_update
-        if self.sparse and self.use_mesh:
+        if self.serve_only:
+            # the full TrainState SHAPE (same construction path as training,
+            # under eval_shape — drift is guarded by
+            # tests/test_serve.py::test_serve_only_state_matches_training);
+            # restore fills it with real values below
+            from arec.train.sparse import init_sparse_state, table_paths
+
+            def build_state():
+                p = build_params()
+                if self.sparse:
+                    return init_sparse_state(
+                        p, table_paths(self.is_seq, self.spec), self.opt,
+                        cfg.train.optimizer)
+                return init_state(p, self.opt)
+
+            self.state = jax.eval_shape(build_state)
+            if self.use_mesh:
+                if self.sparse:
+                    from arec.train.sparse_mesh import (
+                        sparse_mesh_state_shardings,
+                    )
+                    self.state_sh = sparse_mesh_state_shardings(
+                        self.mesh, self.state)
+                else:
+                    self.state_sh = self._state_shardings(self.state.params)
+        elif self.sparse and self.use_mesh:
             # touched-rows updates on the mesh: kills the dense [Vp/T, W]
             # table-cotangent psum over "data" of the GSPMD step — comm and
             # optimizer traffic O(touched·W) per step (arec/train/sparse_mesh)
@@ -240,7 +284,7 @@ class Trainer:
         # shardings carry through lax.scan), and the sparse packed-state
         # scan. Step-for-step identical to K=1 (same per-step rng/order).
         self.dispatch_k = cfg.train.steps_per_dispatch
-        if self.dispatch_k > 1:
+        if self.dispatch_k > 1 and not self.serve_only:
             if cfg.train.steps_per_checkpoint % self.dispatch_k:
                 raise ValueError(
                     "steps_per_checkpoint must be a multiple of "
@@ -271,7 +315,8 @@ class Trainer:
         # process 0 — N hosts sharing a train_dir must not race on the file
         self.metrics = MetricLogger(cfg.train.train_dir,
                                     tensorboard=cfg.train.tensorboard,
-                                    enabled=is_primary())
+                                    enabled=is_primary()
+                                    and not self.serve_only)
         self.start_epoch = 0
         self._maybe_restore()
 
@@ -588,8 +633,11 @@ class Trainer:
             v, b = jnp.asarray(v), jnp.asarray(b)
         step = self._eval_step(k)
         hits = total = 0.0
+        n = 0
+        cap = self.cfg.train.eval_max_batches
         L = self.spec.pack_len if self.is_seq else 0
-        for batch in eval_batches(self.ds, 256, max_seq_len=L,
+        for batch in eval_batches(self.ds, self.cfg.train.eval_batch_size,
+                                  max_seq_len=L,
                                   host_id=self.host_id,
                                   num_hosts=self.num_hosts):
             jb, seen = self._stage_eval(batch,
@@ -597,6 +645,9 @@ class Trainer:
             h, t = step(params, v, b, jb, seen)
             hits += float(h)
             total += float(t)
+            n += 1
+            if cap and n >= cap:
+                break   # periodic-eval subsample (train.eval_max_batches)
         return hits / max(total, 1.0)
 
     def recommend(self, k: int | None = None, out_path: str | None = None):
@@ -616,7 +667,8 @@ class Trainer:
         # and reads back the replicated [H·B, k] result — so each process
         # returns the COMPLETE row list while queries stay host-sharded
         H = self.num_hosts
-        iters = [eval_batches(self.ds, 256, max_seq_len=L,
+        eb = self.cfg.train.eval_batch_size
+        iters = [eval_batches(self.ds, eb, max_seq_len=L,
                               host_id=h, num_hosts=H) for h in range(H)]
         for batches in zip(*iters):
             mine = batches[self.host_id]
@@ -624,7 +676,7 @@ class Trainer:
                                         self.ds.seen_items[mine["user"]])
             _, ids = serve_step(params, v, b, jb, seen)
             ids = np.asarray(ids)          # replicated in multiproc mode
-            per = len(mine["user"])
+            per = eb
             for h, bb in enumerate(batches):
                 ids_h = ids[h * per:(h + 1) * per] if H > 1 else ids
                 for u, row, ok in zip(bb["user"], ids_h, bb["valid"]):
@@ -686,6 +738,9 @@ class Trainer:
         deterministically keyed on (seed, epoch), and the checkpoint
         records step-in-epoch so the iterator fast-forwards past consumed
         batches instead of replaying them."""
+        if self.serve_only:
+            raise RuntimeError("Trainer(serve_only=True) cannot train — "
+                               "construct a full Trainer")
         t = self.cfg.train
         base_rng = jax.random.key(t.seed + 777)
         best_recall = getattr(self, "_resume_best_recall", 0.0)

@@ -87,6 +87,36 @@ def test_mesh_serving_matches_recommend(tmp_path):
         assert row.tolist() == rows[u], u
 
 
+def test_serve_only_state_matches_training(tmp_path):
+    """Trainer(serve_only=True) shapes its restore target with
+    jax.eval_shape over the SAME construction path as training; any drift
+    between the two (tree structure, shapes, dtypes) breaks restore. Guard
+    all three state layouts: dense, sparse-packed, mesh."""
+    import jax
+
+    from arec.config import MeshConfig
+
+    variants = [
+        _cfg(tmp_path, "mf"),
+        Config(**{**_cfg(tmp_path, "mf").__dict__,
+                  "train": TrainConfig(**{
+                      **_cfg(tmp_path, "mf").train.__dict__,
+                      "sparse_update": True})}),
+        Config(**{**_cfg(tmp_path, "lstm").__dict__,
+                  "mesh": MeshConfig(data=2, model=4, lookup="alltoall")}),
+    ]
+    for cfg in variants:
+        full = Trainer(cfg)
+        shaped = Trainer(cfg, serve_only=True)
+        a = jax.tree_util.tree_structure(full.state)
+        b = jax.tree_util.tree_structure(shaped.state)
+        assert a == b, cfg
+        for x, y in zip(jax.tree_util.tree_leaves(full.state),
+                        jax.tree_util.tree_leaves(shaped.state)):
+            assert tuple(x.shape) == tuple(y.shape), (x.shape, y.shape)
+            assert x.dtype == y.dtype, (x.dtype, y.dtype)
+
+
 def test_long_history_never_served_seen_items(tmp_path):
     """Regression for the old seen_width=32 default: a request whose
     seen/history list exceeds any fixed slab must STILL never be served an

@@ -232,13 +232,22 @@ def main():
     # --tpu: single chip
     cfg = cfg.override({"mesh.data": "1", "mesh.model": "1",
                         "train.train_dir": "_train/syn_xf_tpu"})
+    if "--model" in sys.argv:
+        fam = sys.argv[sys.argv.index("--model") + 1]
+        if fam == "lstm":   # the c4 shape: attr-aware LSTM at XING scale
+            cfg = cfg.override({
+                "model.model": "lstm", "model.max_seq_len": "30",
+                "model.use_pallas_scan": "true",
+                "train.batch_size": "2048",
+                "train.train_dir": "_train/syn_xf_tpu_lstm"})
     from arec.train.loop import Trainer
     ds = _prep(cfg)
     t0 = time.time()
     tr = Trainer(cfg)
     rec(metric="xing_full_trainer_init_s", value=round(time.time() - t0, 1),
         peak_hbm_gb=hbm_peak_gb())
-    _bench_train(tr, "sparse")
+    fam_tag = "lstm_sparse" if cfg.model.model == "lstm" else "sparse"
+    _bench_train(tr, fam_tag)
     if "--only-train" in sys.argv:
         print("TPU OK", flush=True)
         return
