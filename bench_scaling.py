@@ -20,13 +20,48 @@ Appends one JSON record per mesh shape to BASELINE_RUNS.jsonl.
 Usage:
     python bench_scaling.py --fake 8 --mesh 1x1 --mesh 2x1 --mesh 2x4
     python bench_scaling.py --mesh 1x1 --mesh 4x2   # real devices
+    # REAL multi-process run (the ≥2-hosts measurement path; CPU numbers
+    # validate the harness + global-array plumbing, not ICI efficiency):
+    python bench_scaling.py --mp-launch 2 --fake 4 --mesh 8x1
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
+import socket
+import subprocess
+import sys
 import time
+
+
+def _mp_launch(args) -> None:
+    """Spawn N copies of this script as a jax.distributed cluster (one
+    'host' per process, each with --fake devices); process 0's records are
+    streamed through."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    argv = [sys.executable, "-u", os.path.abspath(__file__),
+            "--fake", str(args.fake)]
+    for m in args.mesh:
+        argv += ["--mesh", m]
+    argv += ["--per-shard-batch", str(args.per_shard_batch),
+             "--steps", str(args.steps)]
+    procs = []
+    for i in range(args.mp_launch):
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        env["JAX_COORDINATOR_ADDRESS"] = f"localhost:{port}"
+        env["JAX_NUM_PROCESSES"] = str(args.mp_launch)
+        env["JAX_PROCESS_ID"] = str(i)
+        procs.append(subprocess.Popen(
+            argv, env=env,
+            stdout=None if i == 0 else subprocess.DEVNULL,
+            stderr=subprocess.STDOUT if i == 0 else subprocess.DEVNULL))
+    rc = [p.wait() for p in procs]
+    sys.exit(max(rc))
 
 
 def main() -> None:
@@ -35,10 +70,16 @@ def main() -> None:
                     help="DxM mesh shape, repeatable (default: 1x1 and "
                          "all-devices x 1)")
     ap.add_argument("--fake", type=int, default=0,
-                    help="force CPU backend with N virtual devices")
+                    help="force CPU backend with N virtual devices "
+                         "(per process under --mp-launch)")
     ap.add_argument("--per-shard-batch", type=int, default=4096)
     ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--mp-launch", type=int, default=0,
+                    help="spawn N processes as a jax.distributed cluster "
+                         "and run the shapes over their GLOBAL devices")
     args = ap.parse_args()
+    if args.mp_launch:
+        _mp_launch(args)
 
     if args.fake:
         import os
@@ -48,6 +89,10 @@ def main() -> None:
         import jax
         jax.config.update("jax_platforms", "cpu")
     import jax
+
+    from arec.dist.mesh import multihost_init
+
+    multihost_init()   # BEFORE any backend query (jax.distributed contract)
     import jax.numpy as jnp
 
     from arec.config import Config, DataConfig, MeshConfig, ModelConfig, \
@@ -55,6 +100,7 @@ def main() -> None:
     from arec.train.loop import Trainer
 
     n_dev = jax.device_count()
+    n_proc = jax.process_count()
     shapes = [tuple(map(int, m.split("x"))) for m in args.mesh]
     if not shapes:
         shapes = [(1, 1), (n_dev, 1)]
@@ -63,6 +109,10 @@ def main() -> None:
     for data, model in shapes:
         if data * model > n_dev:
             print(f"skip mesh ({data},{model}): only {n_dev} devices")
+            continue
+        if n_proc > 1 and data * model != n_dev:
+            print(f"skip mesh ({data},{model}): a multi-process run needs "
+                  f"the mesh to span all {n_dev} global devices")
             continue
         gbatch = args.per_shard_batch * data
         cfg = Config(
@@ -78,7 +128,10 @@ def main() -> None:
         tr = Trainer(cfg)
         ring = []
         for b in tr._batches(0):
-            ring.append({k: jnp.asarray(v) for k, v in b.items()})
+            # Trainer staging: multi-process global arrays + DEVS_KEY
+            ring.append(tr._stage_batch(
+                {k: jnp.asarray(v) for k, v in b.items()}
+                if tr.num_hosts == 1 else b))
             if len(ring) == 4:
                 break
         rng = jax.random.key(7)
@@ -102,9 +155,11 @@ def main() -> None:
         records.append({"metric": "scaling_examples_per_s", "value": round(eps, 1),
                         "unit": "examples/s",
                         "config": f"mesh=({data},{model}) chips={chips} "
+                                  f"hosts={n_proc} "
                                   f"per-shard-batch={args.per_shard_batch} "
                                   f"backend={jax.default_backend()}"})
-        print(json.dumps(records[-1]))
+        if jax.process_index() == 0:
+            print(json.dumps(records[-1]))
 
     if len(records) > 1:
         base = records[0]
@@ -116,11 +171,13 @@ def main() -> None:
                    "unit": "ratio",
                    "config": f"{rec['config']} vs {base['config']}"}
             records.append(out)
-            print(json.dumps(out))
+            if jax.process_index() == 0:
+                print(json.dumps(out))
 
-    with open("BASELINE_RUNS.jsonl", "a") as f:
-        for rec in records:
-            f.write(json.dumps(rec) + "\n")
+    if jax.process_index() == 0:
+        with open("BASELINE_RUNS.jsonl", "a") as f:
+            for rec in records:
+                f.write(json.dumps(rec) + "\n")
 
 
 if __name__ == "__main__":
