@@ -67,11 +67,15 @@ def _topk_full(
     return jax.lax.top_k(scores, k)
 
 
-@partial(jax.jit, static_argnames=("k",))
+@partial(jax.jit, static_argnames=("k", "recall_target"))
 def recall_hits(
     query, item_latents, item_bias, seen, pos_item, valid, k: int = 30,
+    recall_target: float = 1.0,
 ):
-    """Per-batch (hits, count) for Recall@K, honoring the eval-padding mask."""
-    _, ids = topk_with_mask(query, item_latents, item_bias, seen, k=k)
+    """Per-batch (hits, count) for Recall@K, honoring the eval-padding
+    mask. recall_target < 1 = approx periodic-eval mode
+    (train.eval_recall_target); the default is exact."""
+    _, ids = topk_with_mask(query, item_latents, item_bias, seen, k=k,
+                            recall_target=recall_target)
     hit = (ids == pos_item[:, None]).any(axis=1).astype(jnp.float32)
     return jnp.sum(hit * valid), jnp.sum(valid)

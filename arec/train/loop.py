@@ -554,10 +554,12 @@ class Trainer:
         (SURVEY.md §2.3 "Full-softmax eval sharding"); the exact merge is
         hit-for-hit equal to the single-device path
         (tests/test_dist_e2e.py::test_trainer_mesh_parity_through_defaults)."""
-        if getattr(self, "_eval_jit_k", None) != k:
+        rt = self.cfg.train.eval_recall_target
+        if getattr(self, "_eval_jit_k", None) != (k, rt):
             if self.use_mesh:
                 topk = make_sharded_topk(self.mesh, k=k,
-                                         compute_dtype=self.spec.dtype)
+                                         compute_dtype=self.spec.dtype,
+                                         recall_target=rt)
 
                 def step(params, v, b, batch, seen):
                     q = self._query_fn(params, batch)
@@ -570,9 +572,10 @@ class Trainer:
                 def step(params, v, b, batch, seen):
                     q = self._query_fn(params, batch)
                     return recall_hits(q, v, b, seen, batch["pos_item"],
-                                       batch["valid"], k=k)
+                                       batch["valid"], k=k,
+                                       recall_target=rt)
             self._eval_jit = jax.jit(step)
-            self._eval_jit_k = k
+            self._eval_jit_k = (k, rt)
         return self._eval_jit
 
     def _serve_step(self, k: int):

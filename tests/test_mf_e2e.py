@@ -240,3 +240,27 @@ def test_eval_batch_size_and_cap(tmp_path):
     tr3 = Trainer(cfg.override({"train.eval_max_batches": "1"}))
     r = tr3.evaluate()
     assert 0.0 <= r <= 1.0
+
+
+def test_eval_recall_target_approx_close_to_exact(tmp_path):
+    """train.eval_recall_target < 1 (approx periodic eval) must stay close
+    to the exact recall on a trained model — and identical shapes/caching
+    must not leak between the two modes."""
+    from arec.train.loop import Trainer
+
+    cfg = Config(
+        data=DataConfig(syn_users=300, syn_items=200, syn_interactions=8000,
+                        data_dir=str(tmp_path / "d")),
+        model=ModelConfig(model="mf", dim=16),
+        train=TrainConfig(batch_size=64, num_sampled=32, n_epoch=1,
+                          max_steps=20, steps_per_checkpoint=20,
+                          compute_dtype="float32",
+                          train_dir=str(tmp_path / "t")),
+    )
+    tr = Trainer(cfg)
+    tr.train()
+    exact = tr.evaluate()
+    tr2 = Trainer(cfg.override({"train.eval_recall_target": "0.95"}))
+    approx = tr2.evaluate()
+    assert 0.0 <= approx <= 1.0
+    assert abs(approx - exact) <= 0.05 + 0.05 * exact
