@@ -70,7 +70,8 @@ def _run_workers(tmp_path, extra=()):
     return out, logs
 
 
-def _single_cfg(tmp_path, max_steps, dispatch_k=1, row_shard="contiguous"):
+def _single_cfg(tmp_path, max_steps, dispatch_k=1, row_shard="contiguous",
+                sparse=0):
     return Config(
         data=DataConfig(dataset="synthetic", data_dir=str(tmp_path / "data"),
                         syn_users=300, syn_items=250, syn_interactions=8000),
@@ -79,6 +80,7 @@ def _single_cfg(tmp_path, max_steps, dispatch_k=1, row_shard="contiguous"):
                           n_epoch=4, max_steps=max_steps,
                           steps_per_checkpoint=6,
                           steps_per_dispatch=dispatch_k,
+                          sparse_update=bool(sparse),
                           compute_dtype="float32",
                           train_dir=str(tmp_path / "sp_train")),
         mesh=MeshConfig(data=2, model=4, lookup="alltoall",
@@ -86,16 +88,18 @@ def _single_cfg(tmp_path, max_steps, dispatch_k=1, row_shard="contiguous"):
     )
 
 
-@pytest.mark.parametrize("dispatch_k,row_shard",
-                         [(1, "contiguous"), (3, "shuffle")])
+@pytest.mark.parametrize("dispatch_k,row_shard,sparse",
+                         [(1, "contiguous", 0), (3, "shuffle", 0),
+                          (2, "shuffle", 1)])
 def test_two_process_run_matches_single_process(tmp_path, dispatch_k,
-                                                row_shard):
+                                                row_shard, sparse):
     """2-process (2,4) mesh == single-process (2,4) mesh on 8 local
     devices: final params allclose, recall equal, recommend lists present.
     Covers: jax.distributed bring-up, make_array_from_process_local_data
     batch bridge (single-step AND K-stacked dispatch), host-sharded eval,
     collective checkpoint save + mid-run restore, row_shard=shuffle's
-    permuted layout under multi-process."""
+    permuted layout under multi-process, and the sparse-mesh
+    (touched-rows exchange) step at process_count() > 1."""
     from arec.data.io import load_or_prepare
     from arec.train.loop import Trainer
 
@@ -105,10 +109,11 @@ def test_two_process_run_matches_single_process(tmp_path, dispatch_k,
     out, logs = _run_workers(
         tmp_path, extra=["--steps1", "12", "--steps2", "18",
                          "--dispatch-k", str(dispatch_k),
-                         "--row-shard", row_shard])
+                         "--row-shard", row_shard,
+                         "--sparse", str(sparse)])
 
     # single-process twin: same GLOBAL batches, straight to 18 steps
-    tr = Trainer(_single_cfg(tmp_path, 18, dispatch_k, row_shard))
+    tr = Trainer(_single_cfg(tmp_path, 18, dispatch_k, row_shard, sparse))
     tr.train()
     sp_recall = tr.evaluate()
     sp_params = [np.asarray(x) for x in
