@@ -48,7 +48,12 @@ BATCH = 16384          # MF batch (saturates the chip)
 SB, L = 2048, 30       # LSTM batch / sequence length
 KDISP = 8              # optimizer steps per dispatch in the flagship train
                        # sections (lax.scan; tools/ab_k.py A/B — the remote
-                       # tunnel's per-dispatch overhead swings 0.6-11 ms)
+                       # tunnel's per-dispatch overhead swings 0.6-11 ms;
+                       # the round-3 ladder shows gains through K=256 —
+                       # override with --kdisp N)
+for _i, _a in enumerate(sys.argv):
+    if _a == "--kdisp" and _i + 1 < len(sys.argv):
+        KDISP = int(sys.argv[_i + 1])
 CHIPS = max(jax.local_device_count(), 1)
 
 
@@ -60,18 +65,17 @@ def _ms_last(res):
 
 
 def _stack_ring(batch_iter, k, nblocks):
-    """Stack k host batches per dispatch block, up to nblocks blocks."""
-    blocks, cur = [], []
-    for b in batch_iter:
-        cur.append(b)
-        if len(cur) == k:
-            blocks.append({key: jnp.stack([jnp.asarray(x[key]) for x in cur])
-                           for key in cur[0]})
-            cur = []
-        if len(blocks) == nblocks:
-            break
-    assert blocks, "dataset too small for one dispatch block"
-    return blocks
+    """Stack k host batches per dispatch block, up to nblocks blocks
+    (cycling the epoch's batches when k·nblocks exceeds it — deep-K
+    dispatch blocks outrun the ~18-29-batch flagship epochs)."""
+    raw = list(batch_iter)
+    assert raw, "dataset yielded no batches"
+    while len(raw) < k * nblocks:
+        raw = raw + raw
+    return [{key: jnp.stack([jnp.asarray(x[key])
+                             for x in raw[i * k:(i + 1) * k]])
+             for key in raw[0]}
+            for i in range(nblocks)]
 
 # Roofline peaks (per chip). "Speed-of-light" accounting (BASELINE.json:5):
 # every throughput record carries mfu / membw_frac so ex/s can be judged
