@@ -38,10 +38,22 @@ def multihost_init() -> None:
         return   # e.g. a second Trainer in the same process
     nproc = os.environ.get("JAX_NUM_PROCESSES")
     pid = os.environ.get("JAX_PROCESS_ID")
-    jax.distributed.initialize(
-        coordinator_address=addr,
-        num_processes=int(nproc) if nproc else None,
-        process_id=int(pid) if pid else None)
+    timeout = int(os.environ.get("AREC_INIT_TIMEOUT_S", "300"))
+    try:
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(nproc) if nproc else None,
+            process_id=int(pid) if pid else None,
+            initialization_timeout=timeout)
+    except Exception as e:
+        # SURVEY.md §5 "multi-host init timeout handling": a host that
+        # cannot join must fail LOUDLY with the cluster coordinates — a
+        # silent single-process fallback would train a wrong model
+        raise RuntimeError(
+            f"multi-host bring-up failed (coordinator={addr}, "
+            f"process={pid}/{nproc}, timeout={timeout}s — all processes "
+            f"must start within it; set AREC_INIT_TIMEOUT_S to extend): "
+            f"{e}") from e
 
 
 def is_primary() -> bool:
