@@ -40,16 +40,17 @@ from arec.train.step import init_state, make_multi_step, make_optimizer
 # fused-CE kernel auto-enables (arec/losses/losses.py _KERNEL_MIN_ROWS)
 # for another +15%: 4.14M. 32768 is the sweet spot.
 BATCH = 32768
-K = 256        # steps per dispatch (train.steps_per_dispatch): one lax.scan
+K = 512        # steps per dispatch (train.steps_per_dispatch): one lax.scan
                # jit per K steps amortizes the tunnel's per-dispatch fixed
                # overhead (measured 0.6-11 ms depending on tunnel load).
                # Round-3 interleaved ladder (tools/ab_k.py, BASELINE.md):
                # 11.15M @K16 → 13.58M @K32 → 15.13M @K64 → 15.42M @K128 →
-               # 16.56M @K256 (95% of the 17.5M device-busy ceiling at this
-               # shape — the knee; K=512 would buy ≤3% for 2× the buffer).
-               # Checked-in TRAINING configs keep K=8 for checkpoint/metric
-               # granularity; the bench measures the throughput ceiling.
-WARMUP, STEPS = 2, 8   # in units of K-step dispatches
+               # 16.56M @K256 → 17.32M @K512 — flat against the ~17.5M
+               # device-busy ceiling (1.89 ms/step busy), so dispatch depth
+               # is exhausted as a lever. Checked-in TRAINING configs keep
+               # K=8 for checkpoint/metric granularity; the bench measures
+               # the throughput ceiling.
+WARMUP, STEPS = 2, 6   # in units of K-step dispatches
 
 
 def main() -> None:
