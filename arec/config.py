@@ -107,6 +107,12 @@ class TrainConfig:
                                 # exact default. On converged checkpoints
                                 # 0.95-target ids measured bit-identical
                                 # to exact (BASELINE.md)
+    serve_score_mem_mb: int = 512  # serving-path score-chunk memory budget
+                                # (retrieval re-reads the item matrix once
+                                # per query chunk, so a bigger budget cuts
+                                # passes: 2048 measured +20% approx qps at
+                                # V=1.3M, exact flat — BASELINE.md round 3;
+                                # raise it when serving HBM headroom allows)
     serve_recall_target: float = 1.0  # recommend-mode selection: 1.0 = exact
                                 # top-k; <1 = approx_max_k serving mode
                                 # (~10x qps at V=300k, per-element recall ≥

@@ -25,6 +25,7 @@ BLOCKED_EVAL_MIN_V = 131072  # above this, stream item blocks
 def topk_with_mask(
     query, item_latents, item_bias, seen, k: int = 30,
     compute_dtype=jnp.bfloat16, recall_target: float = 1.0,
+    score_mem_mb: int = 512,
 ):
     """Dispatch by vocabulary size. Small V: materialize [B, V] scores,
     scatter the seen penalty, one top_k. Production V: the query-blocked
@@ -39,7 +40,8 @@ def topk_with_mask(
         from arec.retrieval.mips import blocked_topk_mips
         return blocked_topk_mips(query, item_latents, item_bias, seen, k=k,
                                  compute_dtype=compute_dtype,
-                                 recall_target=recall_target)
+                                 recall_target=recall_target,
+                                 score_mem_mb=score_mem_mb)
     return _topk_full(query, item_latents, item_bias, seen, k=k,
                       compute_dtype=compute_dtype)
 

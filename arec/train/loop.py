@@ -583,14 +583,16 @@ class Trainer:
         Cached on (k, serve_recall_target) like _eval_step — a fresh jit
         wrapper per recommend() call would recompile every time."""
         target = self.cfg.train.serve_recall_target
-        if getattr(self, "_serve_jit_k", None) != (k, target):
+        mem = self.cfg.train.serve_score_mem_mb
+        if getattr(self, "_serve_jit_k", None) != (k, target, mem):
             if self.use_mesh:
                 topk = make_sharded_topk(
                     self.mesh, k=k, compute_dtype=self.spec.dtype,
-                    recall_target=target)
+                    recall_target=target, score_mem_mb=mem)
             else:
                 from arec.train.evalu import topk_with_mask
-                topk = partial(topk_with_mask, k=k, recall_target=target)
+                topk = partial(topk_with_mask, k=k, recall_target=target,
+                               score_mem_mb=mem)
 
             def step(params, v, b, batch, seen):
                 q = self._query_fn(params, batch)
@@ -603,7 +605,7 @@ class Trainer:
                 self._serve_jit = jax.jit(step, out_shardings=(rep, rep))
             else:
                 self._serve_jit = jax.jit(step)
-            self._serve_jit_k = (k, target)
+            self._serve_jit_k = (k, target, mem)
         return self._serve_jit
 
     def _stage_eval(self, batch, seen):
