@@ -90,7 +90,13 @@ class TrainConfig:
     sampler: str = "log_uniform"  # {log_uniform, uniform, pop} negative
                                 # sampler; "pop" = empirical popularity^α
                                 # over train item counts (TF1
-                                # fixed_unigram_candidate_sampler analog)
+                                # fixed_unigram_candidate_sampler analog).
+                                # Applies to every sampled-negative loss
+                                # (ce, warp, bpr — asserted by
+                                # tests/test_losses.py sampler-honored
+                                # test); mw/bbpr use in-batch positives as
+                                # negatives and draw nothing, so this knob
+                                # does not apply to them.
     sampler_power: float = 1.0  # α distortion for sampler="pop"
     seed: int = 0
     eval_topk: int = 30         # Recall@30 is the graded metric (BASELINE.json:2)

@@ -195,12 +195,21 @@ def warp_loss(
     query, true_ids, embed: EmbedBias, rng, num_sampled, vocab,
     dist: str = "uniform", margin: float = 1.0, compute_dtype=jnp.bfloat16,
     pop=None,
+    sampled: tuple | None = None,  # pre-drawn (ids, p) — the sparse train
+                                   # steps derive the touched-row set from
+                                   # this same draw, so passing it is what
+                                   # keeps subset tables and negatives in
+                                   # agreement (tests/test_sparse.py loss
+                                   # sweep)
 ) -> jnp.ndarray:
-    """WARP with parallel sampled rank estimation: with S uniform negative
-    draws and m margin violations, the estimated rank of the positive is
-    ≈ (V−1)·m/S; loss = Φ(rank)·mean hinge, Φ(r) = log(1+r) (Weston et al.
-    2011, batch approximation as in the reference's warp branch)."""
-    sampled_ids, _ = draw(rng, num_sampled, vocab, dist, pop)
+    """WARP with parallel sampled rank estimation: with S negative draws
+    from `dist` and m margin violations, the estimated rank of the positive
+    is ≈ (V−1)·m/S; loss = Φ(rank)·mean hinge, Φ(r) = log(1+r) (Weston et
+    al. 2011, batch approximation as in the reference's warp branch). The
+    proposal probability is irrelevant here (no softmax correction); only
+    the drawn ids matter."""
+    sampled_ids, _ = sampled if sampled is not None else draw(
+        rng, num_sampled, vocab, dist, pop)
     v_true, b_true = embed(true_ids)
     v_samp, b_samp = embed(sampled_ids)
     pos = _rowdot(query, v_true) + b_true                          # [N]
@@ -219,9 +228,11 @@ def warp_loss(
 def bpr_loss(
     query, true_ids, embed: EmbedBias, rng, num_sampled, vocab,
     dist: str = "uniform", compute_dtype=jnp.bfloat16, pop=None,
+    sampled: tuple | None = None,  # pre-drawn (ids, p) — see warp_loss
 ) -> jnp.ndarray:
     """BPR (Rendle 2009): −log σ(pos − neg) over sampled negatives."""
-    sampled_ids, _ = draw(rng, num_sampled, vocab, dist, pop)
+    sampled_ids, _ = sampled if sampled is not None else draw(
+        rng, num_sampled, vocab, dist, pop)
     v_true, b_true = embed(true_ids)
     v_samp, b_samp = embed(sampled_ids)
     pos = _rowdot(query, v_true) + b_true
@@ -238,21 +249,45 @@ def bpr_loss(
 # Personalized Ranking": reuse in-batch positives as shared negatives)
 # --------------------------------------------------------------------------
 
+# gather_cands(true_ids, v, b) -> (cand_ids [B], v_all [B, D], b_all [B],
+# diag_offset): lifts the LOCALLY-encoded positive latents to the global
+# in-batch candidate set. Used by the sparse-mesh step (an all_gather over
+# the data axis inside shard_map) so a per-shard batch still scores against
+# every global positive — matching the dense GSPMD path, where the [B, B]
+# score matrix is logically global and XLA inserts the gather itself.
+# diag_offset is this shard's row offset into the gathered axis (the own-
+# positive column index of local row i is diag_offset + i).
+
+
+def _batch_scores(query, true_ids, embed, compute_dtype, gather_cands):
+    """Shared in-batch scoring: (scores [b, B], own-positive column scores
+    [b], duplicate-positive mask [b, B], candidate count B)."""
+    v, b_bias = embed(true_ids)                                    # [b, D]
+    if gather_cands is None:
+        cand_ids, off = true_ids, 0
+    else:
+        cand_ids, v, b_bias, off = gather_cands(true_ids, v, b_bias)
+    scores = _matmul(query, v, compute_dtype) + b_bias[None, :]
+    n = query.shape[0]
+    diag = off + jnp.arange(n)
+    pos = jnp.take_along_axis(scores, diag[:, None], axis=1)[:, 0]
+    same = cand_ids[None, :] == true_ids[:, None]                  # dup-pos
+    return scores, pos, same, cand_ids.shape[0]
+
+
 def batch_mw_loss(
     query, true_ids, embed: EmbedBias,
     vocab: int, margin: float = 1.0, compute_dtype=jnp.bfloat16,
+    gather_cands=None,
 ) -> jnp.ndarray:
     """`mw`: margin + rank-weighted hinge over the in-batch score matrix;
     positives sit on the diagonal, every other column is a negative."""
-    v, b = embed(true_ids)                                         # [B, D]
-    scores = _matmul(query, v, compute_dtype) + b[None, :]
-    pos = jnp.diagonal(scores)
-    same = true_ids[None, :] == true_ids[:, None]                  # dup-pos mask
+    scores, pos, same, ncand = _batch_scores(
+        query, true_ids, embed, compute_dtype, gather_cands)
     hinge = jnp.maximum(0.0, margin + scores - pos[:, None])
     hinge = jnp.where(same, 0.0, hinge)
-    bsz = query.shape[0]
     m = (hinge > 0).sum(axis=1).astype(jnp.float32)
-    rank = (vocab - 1) * m / jnp.maximum(bsz - 1, 1)
+    rank = (vocab - 1) * m / jnp.maximum(ncand - 1, 1)
     phi = jnp.log1p(rank)
     mean_hinge = hinge.sum(axis=1) / jnp.maximum(m, 1.0)
     return (phi * mean_hinge).mean()
@@ -260,12 +295,11 @@ def batch_mw_loss(
 
 def batch_bpr_loss(
     query, true_ids, embed: EmbedBias, compute_dtype=jnp.bfloat16,
+    gather_cands=None,
 ) -> jnp.ndarray:
     """`bbpr`: BPR over the in-batch score matrix."""
-    v, b = embed(true_ids)
-    scores = _matmul(query, v, compute_dtype) + b[None, :]
-    pos = jnp.diagonal(scores)
-    same = true_ids[None, :] == true_ids[:, None]
+    scores, pos, same, _ = _batch_scores(
+        query, true_ids, embed, compute_dtype, gather_cands)
     ll = jax.nn.log_sigmoid(pos[:, None] - scores)
     ll = jnp.where(same, 0.0, ll)
     denom = jnp.maximum((~same).sum(axis=1).astype(jnp.float32), 1.0)

@@ -89,6 +89,9 @@ def mf_loss(
                                       # the fused CE through its shard_map
                                       # wrapper (arec/kernels/sampled_softmax)
     pop=None,                         # (cdf, probs) — sampler="pop" proposal
+    gather_cands=None,                # mw/bbpr under shard_map: lift local
+                                      # positives to the global in-batch
+                                      # candidate set (losses.py contract)
 ) -> jnp.ndarray:
     """One training step's loss for a (user, positive-item) batch
     (SURVEY.md §3.1: u = fuse(user attrs); loss over sampled candidates)."""
@@ -107,16 +110,27 @@ def mf_loss(
             u, pos, embed, r_neg, spec.num_sampled, vocab,
             dist=spec.sampler, compute_dtype=spec.dtype, sampled=sampled,
             use_kernel=use_kernel, mesh=mesh, pop=pop)
+    # warp/bpr draw their negatives from the SAME spec.sampler proposal as
+    # ce (train.sampler is the one negative-sampler knob — config.py), and
+    # accept the pre-drawn `sampled` so the sparse steps' touched-row set
+    # and the loss's candidate set always agree (the round-3 silent-
+    # corruption bug was exactly this pair disagreeing).
     if spec.loss == "warp":
         return warp_loss(u, pos, embed, r_neg, spec.num_sampled, vocab,
-                         compute_dtype=spec.dtype)
+                         dist=spec.sampler, compute_dtype=spec.dtype,
+                         sampled=sampled, pop=pop)
     if spec.loss == "bpr":
         return bpr_loss(u, pos, embed, r_neg, spec.num_sampled, vocab,
-                        compute_dtype=spec.dtype)
+                        dist=spec.sampler, compute_dtype=spec.dtype,
+                        sampled=sampled, pop=pop)
+    # mw/bbpr reuse in-batch positives as shared negatives (AAAI'18): no
+    # sampled draw exists, so train.sampler does not apply to them.
     if spec.loss == "mw":
-        return batch_mw_loss(u, pos, embed, vocab, compute_dtype=spec.dtype)
+        return batch_mw_loss(u, pos, embed, vocab, compute_dtype=spec.dtype,
+                             gather_cands=gather_cands)
     if spec.loss == "bbpr":
-        return batch_bpr_loss(u, pos, embed, compute_dtype=spec.dtype)
+        return batch_bpr_loss(u, pos, embed, compute_dtype=spec.dtype,
+                              gather_cands=gather_cands)
     raise ValueError(f"unknown mf loss {spec.loss!r}")
 
 

@@ -65,6 +65,13 @@ class Recommender:
         recommend semantics of excluding ALL already-interacted items
         (SURVEY.md §3.3). Pass an explicit width only to cap compile
         shapes; rows beyond it then keep their most recent ids.
+
+        Latency note: per-call sizing means a serving process whose
+        request histories GROW over time crosses 32-wide width buckets
+        and pays a fresh jit compile at each new bucket — 20–40 s on the
+        remote TPU tunnel. Latency-sensitive serving should pin
+        seen_width to the expected maximum (or pre-warm the widest
+        bucket with one dummy call); correctness is identical either way.
     """
 
     def __init__(self, cfg: Config, k: int | None = None,

@@ -542,7 +542,7 @@ class Trainer:
     def _queries(self, batch):
         return self._query_fn(self._eval_params(), batch)
 
-    def _eval_step(self, k: int):
+    def _eval_step(self, k: int, recall_target: float | None = None):
         """Jitted per-batch eval step: queries → masked top-k → hit counts.
         Eager op-by-op eval pays per-dispatch latency on a remote TPU
         (~0.5 ms/op over the tunnel); one jit per fixed batch shape
@@ -554,7 +554,8 @@ class Trainer:
         (SURVEY.md §2.3 "Full-softmax eval sharding"); the exact merge is
         hit-for-hit equal to the single-device path
         (tests/test_dist_e2e.py::test_trainer_mesh_parity_through_defaults)."""
-        rt = self.cfg.train.eval_recall_target
+        rt = (recall_target if recall_target is not None
+              else self.cfg.train.eval_recall_target)
         if getattr(self, "_eval_jit_k", None) != (k, rt):
             if self.use_mesh:
                 topk = make_sharded_topk(self.mesh, k=k,
@@ -621,13 +622,17 @@ class Trainer:
         sh = NamedSharding(self.mesh, P(DATA_AXIS, None))
         return jb, shard_from_hosts(np.asarray(seen), sh)
 
-    def evaluate(self, k: int | None = None) -> float:
+    def evaluate(self, k: int | None = None, exact: bool = False) -> float:
         """Valid Recall@K with seen-item masking (SURVEY.md §3.3). On a
         mesh the item matrix stays sharded end-to-end (see _eval_step).
         Multi-process: each host evaluates its own strided slice of the
         held-out rows (eval_batches host sharding); the jitted step sums
         hits over the GLOBAL batch, so the running totals are already
-        all-host counts — no extra reduction needed."""
+        all-host counts — no extra reduction needed.
+
+        exact=True overrides the periodic-eval cost knobs
+        (train.eval_max_batches subsampling and the eval_recall_target
+        approx top-k) for a full-exactness metric — the number to report."""
         k = k or self.cfg.train.eval_topk
         params = self._eval_params()
         v, b = self._item_latents(params)
@@ -636,10 +641,10 @@ class Trainer:
         else:
             v, b = jax.device_get(v), jax.device_get(b)  # freeze for the sweep
             v, b = jnp.asarray(v), jnp.asarray(b)
-        step = self._eval_step(k)
+        step = self._eval_step(k, recall_target=1.0 if exact else None)
         hits = total = 0.0
         n = 0
-        cap = self.cfg.train.eval_max_batches
+        cap = 0 if exact else self.cfg.train.eval_max_batches
         L = self.spec.pack_len if self.is_seq else 0
         for batch in eval_batches(self.ds, self.cfg.train.eval_batch_size,
                                   max_seq_len=L,
@@ -673,7 +678,11 @@ class Trainer:
         # returns the COMPLETE row list while queries stay host-sharded
         H = self.num_hosts
         eb = self.cfg.train.eval_batch_size
-        iters = [eval_batches(self.ds, eb, max_seq_len=L,
+        # other hosts' slabs are only read for (user, valid) metadata —
+        # skip the native LSTM sequence packing for them (max_seq_len=0):
+        # the packed inputs are only ever fed from THIS host's slab
+        iters = [eval_batches(self.ds, eb,
+                              max_seq_len=L if h == self.host_id else 0,
                               host_id=h, num_hosts=H) for h in range(H)]
         for batches in zip(*iters):
             mine = batches[self.host_id]
@@ -870,9 +879,24 @@ class Trainer:
                            self._data_pos(state, prev_loss, window,
                                           best_recall),
                            self.cfg.to_json())
+        # terminal metric: the periodic-eval cost knobs (eval_max_batches
+        # subsample, eval_recall_target approx top-k) must not silently
+        # approximate the FINAL reported recall — warn loudly and keep the
+        # cheap number (forcing exactness here would re-impose the ~16-min
+        # exact sweep the knobs exist to avoid at XING scale; callers who
+        # want the exact terminal number use trainer.evaluate(exact=True)).
+        approx = (bool(self.cfg.train.eval_max_batches)
+                  or self.cfg.train.eval_recall_target < 1.0)
         final_recall = self.evaluate()
+        if approx and is_primary():
+            print("[eval] WARNING: final recall_at_k is APPROXIMATE "
+                  f"(eval_max_batches={self.cfg.train.eval_max_batches}, "
+                  f"eval_recall_target="
+                  f"{self.cfg.train.eval_recall_target}); call "
+                  "trainer.evaluate(exact=True) for the exact metric")
         best_recall = max(best_recall, final_recall)
         self.metrics.log(steps_done, final_recall_at_k=final_recall,
-                         best_recall_at_k=best_recall)
+                         best_recall_at_k=best_recall,
+                         final_eval_approximate=float(approx))
         return {"steps": steps_done, "recall_at_k": final_recall,
                 "best_recall_at_k": best_recall}

@@ -56,6 +56,13 @@ from arec.train.step import TrainState
 ADAGRAD_INIT_ACCUM = 0.1   # optax.adagrad defaults — parity with dense path
 ADAGRAD_EPS = 1e-7
 
+# MF losses that consume sampled negatives (and hence whose touched-row set
+# must include the pre-drawn candidate ids). mw/bbpr use in-batch positives
+# as shared negatives — nothing is drawn for them. The full supported table
+# is guarded loudly in the step factories below.
+MF_SAMPLED_LOSSES = ("ce", "warp", "bpr")
+MF_BATCH_LOSSES = ("mw", "bbpr")
+
 
 # ---------------------------------------------------------------------------
 # Nested-dict path helpers (params are plain dict pytrees)
@@ -247,6 +254,23 @@ def unpack_params(params, paths):
     return out
 
 
+def check_sparse_loss(is_seq: bool, spec) -> bool:
+    """Validate spec.loss for the sparse paths at factory time (LOUDLY —
+    the round-3 verdict found unsupported combos corrupting gradients
+    silently). Returns whether the loss consumes sampled negatives."""
+    if is_seq:
+        # seq losses (ce/mce) always train against sampled negatives;
+        # SeqSpec construction already rejects anything else (seq.py)
+        return True
+    if spec.loss in MF_SAMPLED_LOSSES:
+        return True
+    if spec.loss in MF_BATCH_LOSSES:
+        return False
+    raise ValueError(
+        f"sparse_update supports mf losses "
+        f"{MF_SAMPLED_LOSSES + MF_BATCH_LOSSES}, not {spec.loss!r}")
+
+
 def make_sparse_step_core(
     is_seq: bool,
     spec,
@@ -265,6 +289,7 @@ def make_sparse_step_core(
     if optimizer not in ("adagrad", "sgd"):
         raise ValueError(
             f"sparse_update supports adagrad/sgd, not {optimizer!r}")
+    needs_neg = check_sparse_loss(is_seq, spec)
     collect = _seq_tables if is_seq else _mf_tables
     loss_mod = seq_mod.seq_loss if is_seq else None
     vocab = (spec.vocab if is_seq else spec.item.schema.num_entities)
@@ -282,13 +307,20 @@ def make_sparse_step_core(
 
         # 1. pre-draw negatives (same rng protocol as the losses: the loss
         # splits rng into (r_drop, r_neg) itself; passing `sampled` makes
-        # its own r_neg draw unused, so negatives match the dense step)
-        _, r_neg = jax.random.split(rng)
-        sampled = draw(r_neg, spec.num_sampled, vocab, spec.sampler,
-                       pop)
+        # its own r_neg draw unused, so negatives match the dense step).
+        # In-batch losses (mw/bbpr) draw nothing — their negatives are the
+        # batch positives, already in the touched set.
+        if needs_neg:
+            _, r_neg = jax.random.split(rng)
+            sampled = draw(r_neg, spec.num_sampled, vocab, spec.sampler,
+                           pop)
+            neg_ids = sampled[0]
+        else:
+            sampled = None
+            neg_ids = jnp.zeros((0,), jnp.int32)
 
         # 2. touched rows per table (static shapes; sentinel-padded unique)
-        specs = collect(spec, udev, idev, batch, sampled[0])
+        specs = collect(spec, udev, idev, batch, neg_ids)
         uids = {s.role: unique_rows(ids, total, cap=bound)
                 for s, ids, total, bound in specs}
 

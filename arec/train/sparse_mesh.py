@@ -59,8 +59,8 @@ from arec.tables.engine import (
 from arec.tables.layout import RowPerm
 from arec.tables.sharded import _dedup_ids, _exchange_lookup
 from arec.train.sparse import (
-    _adagrad_rows, _mf_tables, _seq_tables, _strip_tables, get_path,
-    set_path, table_paths,
+    _adagrad_rows, _mf_tables, _seq_tables, _strip_tables, check_sparse_loss,
+    get_path, set_path, table_paths,
 )
 from arec.train.step import TrainState, scan_multi
 
@@ -216,6 +216,7 @@ def make_sparse_mesh_step_core(
     if optimizer not in ("adagrad", "sgd"):
         raise ValueError(
             f"sparse_update supports adagrad/sgd, not {optimizer!r}")
+    needs_neg = check_sparse_loss(is_seq, spec)
     perms = perms or {}
     collect = _seq_tables if is_seq else _mf_tables
     vocab = (spec.vocab if is_seq else spec.item.schema.num_entities)
@@ -231,12 +232,19 @@ def make_sparse_mesh_step_core(
         lr = base_lr * state.lr_scale
 
         # 1. pre-drawn candidates: replicated rng → identical negatives on
-        # every device, exactly like the GSPMD dense path
-        _, r_neg = jax.random.split(rng)
-        sampled = draw(r_neg, spec.num_sampled, vocab, spec.sampler, pop)
+        # every device, exactly like the GSPMD dense path. In-batch losses
+        # (mw/bbpr) draw nothing — see arec/train/sparse.py.
+        if needs_neg:
+            _, r_neg = jax.random.split(rng)
+            sampled = draw(r_neg, spec.num_sampled, vocab, spec.sampler,
+                           pop)
+            neg_ids = sampled[0]
+        else:
+            sampled = None
+            neg_ids = jnp.zeros((0,), jnp.int32)
 
         # 2. touched rows per table, per DATA shard
-        specs = collect(spec, udev, idev, batch, sampled[0])
+        specs = collect(spec, udev, idev, batch, neg_ids)
         uids = {s.role: unique_rows(ids, total, cap=bound)
                 for s, ids, total, bound in specs}
 
@@ -261,8 +269,23 @@ def make_sparse_mesh_step_core(
         rest = _strip_tables(params, paths)
 
         # 4. loss over the subsets; dropout rng decorrelated per data shard
-        # (negatives stay shared — they were pre-drawn from the unfolded key)
+        # (negatives stay shared — they were pre-drawn from the unfolded
+        # key). For the in-batch losses (mw/bbpr) the candidate set must be
+        # the GLOBAL batch, matching the dense GSPMD path's logical [B, B]
+        # score matrix: each data shard encodes its LOCAL positives (their
+        # rows are in its touched set) and all_gathers the latents over
+        # "data" — the all_gather transpose (psum_scatter) then routes each
+        # shard's cross-batch gradient contribution back to the owner's
+        # subset cotangent, which the reverse row exchange already sums
+        # over "data". Correct because MF batch shards are equal-sized, so
+        # the loss `scale` below is the same constant on every device.
         rng_dev = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+
+        def gather_cands(ids, v, b):
+            off = jax.lax.axis_index(DATA_AXIS) * ids.shape[0]
+            g = partial(jax.lax.all_gather, axis_name=DATA_AXIS,
+                        axis=0, tiled=True)
+            return g(ids), g(v), g(b), off
 
         def loss_f(subs, rest):
             p = rest
@@ -275,7 +298,9 @@ def make_sparse_mesh_step_core(
                                         pop=pop)
             return mf_mod.mf_loss(p, spec, udev, idev, batch,
                                   rng_dev, lookup_fns=lookup_fns,
-                                  sampled=sampled, pop=pop)
+                                  sampled=sampled, pop=pop,
+                                  gather_cands=(None if needs_neg
+                                                else gather_cands))
 
         loss, (g_subs, g_rest) = jax.value_and_grad(
             loss_f, argnums=(0, 1))(subs, rest)

@@ -37,13 +37,13 @@ from arec.compile_cache import enable_compile_cache
 
 enable_compile_cache()
 
-QUICK = "--quick" in sys.argv
+# module-level defaults; overridden by _parse_flags() in main() (flags are
+# argparse-validated there so typos like "--kdisp=x" fail loudly and appear
+# in --help, instead of the old silent sys.argv scan — ADVICE r3 #4)
+QUICK = False
 _ONLY = None
-for _i, _a in enumerate(sys.argv):
-    if _a == "--only" and _i + 1 < len(sys.argv):
-        _ONLY = set(sys.argv[_i + 1].split(","))
-
-ITERS = 10 if QUICK else 50
+CHECK = False
+ITERS = 50
 BATCH = 16384          # MF batch (saturates the chip)
 SB, L = 2048, 30       # LSTM batch / sequence length
 KDISP = 8              # optimizer steps per dispatch in the flagship train
@@ -51,10 +51,25 @@ KDISP = 8              # optimizer steps per dispatch in the flagship train
                        # tunnel's per-dispatch overhead swings 0.6-11 ms;
                        # the round-3 ladder shows gains through K=256 —
                        # override with --kdisp N)
-for _i, _a in enumerate(sys.argv):
-    if _a == "--kdisp" and _i + 1 < len(sys.argv):
-        KDISP = int(sys.argv[_i + 1])
 CHIPS = max(jax.local_device_count(), 1)
+
+
+def _parse_flags(argv):
+    import argparse
+    p = argparse.ArgumentParser(
+        prog="bench_all.py",
+        description="Full self-baselining bench harness (see module "
+                    "docstring). Appends records to BASELINE_RUNS.jsonl.")
+    p.add_argument("--quick", action="store_true",
+                   help="10 timing iterations instead of 50")
+    p.add_argument("--only", type=str, default=None, metavar="SECTIONS",
+                   help="comma-separated subset: mf,lstm,mf_bigvocab,"
+                        "lstm_bigvocab,retrieval,retrieval_bigvocab")
+    p.add_argument("--kdisp", type=int, default=KDISP, metavar="N",
+                   help=f"optimizer steps per dispatch (default {KDISP})")
+    p.add_argument("--check", action="store_true",
+                   help="gate measured metrics against BENCH_FLOORS.json")
+    return p.parse_args(argv)
 
 
 def _ms_last(res):
@@ -475,6 +490,12 @@ def check_floors(out: list[dict], floors_path: str = "BENCH_FLOORS.json",
 def main():
     from arec.train.step import make_optimizer
 
+    global QUICK, _ONLY, CHECK, ITERS, KDISP
+    args = _parse_flags(sys.argv[1:])
+    QUICK, CHECK, KDISP = args.quick, args.check, args.kdisp
+    _ONLY = set(args.only.split(",")) if args.only else None
+    ITERS = 10 if QUICK else 50
+
     out: list[dict] = []
     opt = make_optimizer("adagrad", 0.3)
     ds = (_dataset()
@@ -498,7 +519,7 @@ def main():
         for rec in out:
             f.write(json.dumps(rec) + "\n")
 
-    if "--check" in sys.argv:
+    if CHECK:
         fails = check_floors(out)
         for f in fails:
             print(f"[floor-check] FAIL {f}", flush=True)

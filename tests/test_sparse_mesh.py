@@ -17,13 +17,13 @@ from arec.train.sparse import table_paths, unpack_params
 
 
 def _cfg(tmp_path, sparse, model="mf", row_shard="contiguous", k=1,
-         mesh=(2, 4)):
+         mesh=(2, 4), loss="ce"):
     return Config(
         data=DataConfig(dataset="synthetic", data_dir=str(tmp_path / "d"),
                         syn_users=300, syn_items=250, syn_interactions=8000),
         model=ModelConfig(model=model, dim=16, use_attributes=True,
                           max_seq_len=8, use_pallas_scan=False),
-        train=TrainConfig(batch_size=64, num_sampled=32, n_epoch=1,
+        train=TrainConfig(batch_size=64, num_sampled=32, n_epoch=1, loss=loss,
                           steps_per_checkpoint=1000, sparse_update=sparse,
                           steps_per_dispatch=k, compute_dtype="float32",
                           train_dir=str(tmp_path / f"t_{sparse}_{model}")),
@@ -64,6 +64,28 @@ def test_sparse_mesh_matches_dense_mesh(tmp_path, model, row_shard, mesh):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
     # eval rides the shared sharded path on the unpacked params
     np.testing.assert_allclose(td.evaluate(), ts.evaluate(), atol=1e-9)
+
+
+# whole MF loss table on the mesh (round-3 verdict: the sparse×{warp,bpr}
+# subset/redraw mismatch silently corrupted gradients under the default
+# sampler; mw/bbpr additionally need the GLOBAL in-batch candidate set —
+# per-shard batches would silently shrink the negative pool vs the dense
+# GSPMD oracle's logical [B, B] score matrix)
+@pytest.mark.parametrize("loss", ["warp", "bpr", "mw", "bbpr"])
+def test_sparse_mesh_losses_match_dense_mesh(tmp_path, loss):
+    td = Trainer(_cfg(tmp_path, False, loss=loss, row_shard="shuffle"))
+    ts = Trainer(_cfg(tmp_path, True, loss=loss, row_shard="shuffle"))
+    sd, ss = td.state, ts.state
+    for i, b in zip(range(3), td._batches(0)):
+        jb = {k: jnp.asarray(v) for k, v in b.items()}
+        rng = jax.random.fold_in(jax.random.key(777), i)
+        sd, md = td.step_fn(sd, jb, rng)
+        ss, ms = ts.step_fn(ss, jb, rng)
+        np.testing.assert_allclose(float(md["loss"]), float(ms["loss"]),
+                                   rtol=1e-5, atol=1e-6)
+    td.state, ts.state = sd, ss
+    for a, b in zip(_params_of(td), _params_of(ts)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
 
 def test_sparse_mesh_multi_step_matches_single(tmp_path):
