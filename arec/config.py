@@ -127,6 +127,15 @@ class TrainConfig:
     train_dir: str = "_train"
     max_steps: int = 0          # 0 = unlimited (epoch-bounded); else hard cap
     compute_dtype: str = "bfloat16"  # matmul input dtype; params stay fp32
+    act_dtype: str = "float32"  # {float32, bfloat16} TRAIN-path activation
+                                # dtype: bfloat16 halves the HBM traffic of
+                                # every batch-side intermediate between the
+                                # table gathers and the loss (the round-3
+                                # closing profile's top busy-time lever);
+                                # tables/grads/optimizer stay f32 and
+                                # eval/serving always encode f32. A/B +
+                                # converged-recall anchors in BASELINE.md
+                                # (round 4).
     sparse_update: bool = False # touched-rows-only table updates (big-vocab
                                 # fast path; single-device, adagrad/sgd)
     compact_table_grads: bool = False  # sort+unique request ids per lookup

@@ -45,7 +45,15 @@ def apply_fusion(
     nonlinear: bool,
     dropout_rng: jax.Array | None = None,
     keep_prob: float = 1.0,
+    act_dtype=None,    # train-path activation dtype (TrainConfig.act_dtype):
+                       # when set, the projection weights are cast so the
+                       # matmul runs act×act on the MXU and the [B, n·D]
+                       # concat / [B, D] hidden intermediates stay in
+                       # act_dtype — a mixed f32 weight would silently
+                       # upcast (and materialize) the batch-side operand
 ) -> jnp.ndarray:
+    cast = (lambda a: a.astype(act_dtype)) if act_dtype is not None else (
+        lambda a: a)
     if kind == "sum":
         out = sum(per_attr[1:], start=per_attr[0])
     elif kind == "concat":
@@ -53,10 +61,10 @@ def apply_fusion(
         if params is None:
             out = x  # identity: single attribute, linear
         else:
-            h = x @ params["w1"] + params["b1"]
+            h = x @ cast(params["w1"]) + cast(params["b1"])
             if nonlinear:
                 h = jnp.tanh(h)
-                h = h @ params["w2"] + params["b2"]
+                h = h @ cast(params["w2"]) + cast(params["b2"])
             out = h
     else:
         raise ValueError(f"unknown fusion kind {kind!r}")

@@ -183,11 +183,15 @@ def _sums_bwd_kernel(q_ref, vt_ref, vs_ref, cs_ref, rin_ref, sid_ref,
     wp = g * p                                         # [NT, S]
     wt = g * (pt - 1.0)                                # [NT, 1]
 
+    # dq/dvt stores cast to the REF dtype: with bf16 activations
+    # (TrainConfig.act_dtype) the q/v_true primals are bf16, and custom_vjp
+    # requires cotangent avals to match — the f32 math above is unchanged,
+    # only the HBM store narrows
     dq_ref[:] = (wt * v
                  + jax.lax.dot_general(
                      wp.astype(dtype), vs.astype(dtype),
                      dimension_numbers=(((1,), (0,)), ((), ())),
-                     preferred_element_type=jnp.float32))
+                     preferred_element_type=jnp.float32)).astype(dq_ref.dtype)
     if aug:
         # d(vt_aug): value-lane grads re-expanded onto lanes 0..D-1 via the
         # selection matmul; the bias grad (= wt) rides lane D — no separate
@@ -199,9 +203,9 @@ def _sums_bwd_kernel(q_ref, vt_ref, vs_ref, cs_ref, rin_ref, sid_ref,
             _sel(d + 1, d, dtype),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-            + jnp.where(lane == d, wt, 0.0))
+            + jnp.where(lane == d, wt, 0.0)).astype(dvt_ref.dtype)
     else:
-        dvt_ref[:] = wt * q.astype(jnp.float32)
+        dvt_ref[:] = (wt * q.astype(jnp.float32)).astype(dvt_ref.dtype)
         dbt_ref[:] = wt
     dvs_ref[:] += jax.lax.dot_general(
         wp.astype(dtype), q.astype(dtype),
@@ -262,9 +266,13 @@ def _sums_backward(q, v_true, v_samp, c_samp, rin, sampled_ids, rout,
                                       memory_space=pltpu.VMEM)
     col = pl.BlockSpec((nt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     scale = jnp.reshape(g_num.astype(jnp.float32), (1, 1))
+    # dq/dvt dtypes follow their primals (bf16 under TrainConfig.act_dtype);
+    # the accumulated dvs/dbs stay f32 — v_samp is cast f32 at the loss call
+    # site (S·D is tiny) because a bf16 += accumulation across the grid
+    # would lose precision on the shared negatives' gradients
     out_specs = [row(d), row(dt), rep(s, d), rep(1, s)]
-    out_shape = [jax.ShapeDtypeStruct((np_, d), jnp.float32),
-                 jax.ShapeDtypeStruct((np_, dt), jnp.float32),
+    out_shape = [jax.ShapeDtypeStruct((np_, d), q.dtype),
+                 jax.ShapeDtypeStruct((np_, dt), v_true.dtype),
                  jax.ShapeDtypeStruct((s, d), jnp.float32),
                  jax.ShapeDtypeStruct((1, s), jnp.float32)]
     if not aug:

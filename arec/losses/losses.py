@@ -116,6 +116,11 @@ def sampled_softmax_loss(
     if use_kernel and remove_accidental_hits:
         from arec.kernels.sampled_softmax import (
             fused_sampled_ce_sums, fused_sampled_ce_sums_sharded)
+        # v_samp rides the kernel grid as an f32 accumuland ([S, D] is tiny);
+        # under bf16 activations the cast transpose returns its cotangent to
+        # the encoder in bf16. q / v_true keep their (possibly bf16) dtype —
+        # the kernel emits dq/dvt in the primal dtype.
+        v_samp = v_samp.astype(jnp.float32)
         c_samp = b_samp - jnp.log(num_sampled * p)
         corr = jnp.log(num_sampled * _p_of(true_ids, vocab, dist, pop))
         if embed_raw is not None:

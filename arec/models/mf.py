@@ -42,6 +42,9 @@ class MFSpec:
     sampler: str = "log_uniform"
     keep_prob: float = 1.0
     compute_dtype: str = "bfloat16"
+    act_dtype: str = "float32"     # TRAIN-path activation dtype
+                                   # (TrainConfig.act_dtype); eval/serving
+                                   # always encode in f32
 
     @staticmethod
     def from_config(cfg: Config, user_schema: EntitySchema,
@@ -59,11 +62,18 @@ class MFSpec:
             sampler=cfg.train.sampler,
             keep_prob=cfg.model.keep_prob,
             compute_dtype=cfg.train.compute_dtype,
+            act_dtype=cfg.train.act_dtype,
         )
 
     @property
     def dtype(self):
         return jnp.dtype(self.compute_dtype)
+
+    @property
+    def act_dt(self):
+        """jnp dtype for train-path activations; None = float32 (no cast)."""
+        return None if self.act_dtype == "float32" else jnp.dtype(
+            self.act_dtype)
 
 
 def init_mf(key: jax.Array, spec: MFSpec) -> dict:
@@ -99,9 +109,11 @@ def mf_loss(
     r_drop, r_neg = jax.random.split(rng)
     u = encode(params["user"], spec.user, user_dev, batch["user"],
                lk.get("user", lookup_fn),
-               dropout_rng=r_drop, keep_prob=spec.keep_prob)
+               dropout_rng=r_drop, keep_prob=spec.keep_prob,
+               act_dtype=spec.act_dt)
     embed = lambda ids: encode_with_bias(params["item"], spec.item, item_dev,
-                                         ids, lk.get("item", lookup_fn))
+                                         ids, lk.get("item", lookup_fn),
+                                         act_dtype=spec.act_dt)
     pos = batch["pos_item"]
     vocab = spec.item.schema.num_entities
 

@@ -53,6 +53,7 @@ class SeqSpec:
     tie_output: bool = False    # score against the fused item encoder instead
                                 # of a dedicated output table
     compute_dtype: str = "bfloat16"
+    act_dtype: str = "float32"  # TRAIN-path activation dtype (see MFSpec)
 
     @property
     def dim(self) -> int:
@@ -103,7 +104,14 @@ class SeqSpec:
             use_pallas_scan=cfg.model.use_pallas_scan,
             tie_output=cfg.model.tie_output,
             compute_dtype=cfg.train.compute_dtype,
+            act_dtype=cfg.train.act_dtype,
         )
+
+    @property
+    def act_dt(self):
+        """jnp dtype for train-path activations; None = float32 (no cast)."""
+        return None if self.act_dtype == "float32" else jnp.dtype(
+            self.act_dtype)
 
 
 def _gate_count(cell: str) -> int:
@@ -281,12 +289,16 @@ def seq_inputs(params, spec: SeqSpec, item_dev, user_dev, batch,
     embeddings after would cost B·L·D·4."""
     lk = lookup_fns or {}
     ids = batch["inputs"].T if time_major else batch["inputs"]
+    # act_dtype (bf16 activations): both scan paths cast x into the compute
+    # dtype at the input projection anyway (input_projection), so a bf16 x
+    # only narrows the [L, B, D] HBM intermediate, never the math
     x = encode(params["item_in"], spec.item_in, item_dev, ids,
                lk.get("item", lookup_fn),
-               dropout_rng=dropout_rng, keep_prob=spec.keep_prob)
+               dropout_rng=dropout_rng, keep_prob=spec.keep_prob,
+               act_dtype=spec.act_dt)
     if spec.user is not None:
         u = encode(params["user"], spec.user, user_dev, batch["user"],
-                   lk.get("user", lookup_fn))
+                   lk.get("user", lookup_fn), act_dtype=spec.act_dt)
         x = x + (u[None, :, :] if time_major else u[:, None, :])
     return x
 
@@ -421,7 +433,7 @@ def seq_loss(params, spec: SeqSpec, item_dev, user_dev, batch,
     if spec.tie_output:
         embed = lambda ids: encode_with_bias(
             params["item_in"], spec.item_in, item_dev, ids,
-            lk.get("item", lookup_fn))
+            lk.get("item", lookup_fn), act_dtype=spec.act_dt)
     else:
         # raw [n, D+1] rows (bias in lane D): the fused-CE kernel's aug
         # mode consumes/produces this shape directly for the true side —

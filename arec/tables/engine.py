@@ -308,11 +308,20 @@ def encode(
     lookup_fn: LookupFn = dense_lookup,
     dropout_rng: jax.Array | None = None,
     keep_prob: float = 1.0,
+    act_dtype=None,
 ) -> jnp.ndarray:
     """ids int32 [...] (values in [0, num_entities]; num_entities = pad)
-    → entity latents float32 [..., dim]. Pad ids encode to exactly zero."""
+    → entity latents float32 [..., dim]. Pad ids encode to exactly zero.
+
+    act_dtype: activation dtype for the TRAIN path (TrainConfig.act_dtype).
+    When set (bf16), every batch-side intermediate after the row gathers —
+    gathered rows, pooled mulhot means, the fusion concat/proj — is cast to
+    it, halving the HBM traffic of the ~8 MB [32768, 64] intermediates the
+    round-3 closing profile names as the top busy-time lever (BASELINE.md).
+    Tables and their gradients stay float32 (optimizer precision). None =
+    float32 throughout — the eval/serving default and the A/B oracle."""
     latent, _ = _encode_impl(params, spec, attr_dev, ids, lookup_fn,
-                             dropout_rng, keep_prob)
+                             dropout_rng, keep_prob, act_dtype)
     return latent
 
 
@@ -324,6 +333,7 @@ def encode_with_bias(
     lookup_fn: LookupFn = dense_lookup,
     dropout_rng: jax.Array | None = None,
     keep_prob: float = 1.0,
+    act_dtype=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(latents [..., dim], bias [...]) — candidate-side encode. The bias
     scalar is column `dim` of the entity-ID field's row (EncoderSpec
@@ -331,7 +341,7 @@ def encode_with_bias(
     separate 1-D bias gather/scatter exists anywhere in the step."""
     assert spec.with_bias, "encode_with_bias needs EncoderSpec.with_bias"
     return _encode_impl(params, spec, attr_dev, ids, lookup_fn,
-                        dropout_rng, keep_prob)
+                        dropout_rng, keep_prob, act_dtype)
 
 
 def _encode_impl(
@@ -342,11 +352,16 @@ def _encode_impl(
     lookup_fn: LookupFn = dense_lookup,
     dropout_rng: jax.Array | None = None,
     keep_prob: float = 1.0,
+    act_dtype=None,
 ):
     batch_shape = ids.shape
     flat = ids.reshape(-1)
     table = params["tables"][FUSED]
     d = spec.width
+    # activation cast, fused by XLA into each gather/matmul producer so the
+    # f32 row values never materialize batch-side (see encode docstring)
+    acast = (lambda a: a.astype(act_dtype)) if act_dtype is not None else (
+        lambda a: a)
 
     # one gather for every large-vocab cat attribute. Entity-ID fields skip
     # the indirection map: their fused row id is flat + offset (see
@@ -365,7 +380,7 @@ def _encode_impl(
                 cols.append(gathered[:, gi])
                 gi += 1
         cat_ids = jnp.stack(cols, axis=1)                   # [N, n_cat]
-        cat_rows = lookup_fn(table, cat_ids.reshape(-1))
+        cat_rows = acast(lookup_fn(table, cat_ids.reshape(-1)))
         cat_rows = cat_rows.reshape(*cat_ids.shape, d)      # [N, n_cat, D]
 
     # large-vocab mulhot: one gather + per-field mask-mean
@@ -373,7 +388,7 @@ def _encode_impl(
     if spec.gather_mulhot_fields:
         mul_ids = attr_dev["mul"][flat]                     # [N, total_deg]
         safe = jnp.where(mul_ids >= 0, mul_ids, 0)
-        rows = lookup_fn(table, safe.reshape(-1))
+        rows = acast(lookup_fn(table, safe.reshape(-1)))
         rows = rows.reshape(*mul_ids.shape, d)              # [N, deg, D]
         mask = (mul_ids >= 0).astype(rows.dtype)[..., None]
         rows = rows * mask
@@ -382,7 +397,7 @@ def _encode_impl(
             sl_rows = rows[:, col:col + f.max_degree]
             sl_mask = mask[:, col:col + f.max_degree]
             denom = jnp.maximum(sl_mask.sum(axis=-2), 1.0)
-            pooled[f.name] = sl_rows.sum(axis=-2) / denom
+            pooled[f.name] = acast(sl_rows.sum(axis=-2) / denom)
             col += f.max_degree
 
     # small-vocab fields (cat + mulhot): one-hot/multihot rows × sub-table —
@@ -397,8 +412,8 @@ def _encode_impl(
             m = mrow[:, col:col + f.vocab_size]
             sub = jax.lax.slice_in_dim(table, offsets[f.name],
                                        offsets[f.name] + f.vocab_size)
-            pooled[f.name] = jnp.dot(m, sub,
-                                     preferred_element_type=jnp.float32)
+            pooled[f.name] = acast(jnp.dot(
+                acast(m), acast(sub), preferred_element_type=jnp.float32))
             col += f.vocab_size
 
     # per-attribute embeddings in schema field order (fusion contract);
@@ -421,12 +436,16 @@ def _encode_impl(
         params.get("fusion"), per_attr,
         kind=spec.fusion, nonlinear=spec.nonlinear,
         dropout_rng=dropout_rng, keep_prob=keep_prob,
+        act_dtype=act_dtype,
     )
     # pad entities (id == num_entities) encode to zero
     valid = (flat < spec.schema.num_entities).astype(latent.dtype)[:, None]
     latent = (latent * valid).reshape(*batch_shape, spec.dim)
     if bias is not None:
-        bias = (bias * valid[:, 0]).reshape(batch_shape)
+        # bias is a per-row scalar (negligible traffic) consumed in f32 by
+        # every loss — return it f32 regardless of the activation dtype
+        bias = (bias.astype(jnp.float32)
+                * valid[:, 0].astype(jnp.float32)).reshape(batch_shape)
     return latent, bias
 
 

@@ -72,3 +72,36 @@ def test_check_floors_gate(bench_all, tmp_path):
     assert len(fails) == 1 and "m_b" in fails[0]
     assert bench_all.check_floors(out[:1], str(fp)) == []
     assert bench_all.check_floors(out, str(tmp_path / "nope.json"))
+
+
+def test_check_floors_ratio_gate(bench_all, tmp_path):
+    """The weather-normalized ratio gate (VERDICT r3 weak #4): a genuine
+    ~1.3x code regression fails the ratio gate even when the absolute
+    best/3 floor still passes (tunnel-weather slack); a weather slowdown
+    scaling metric AND ref together does not."""
+    import json
+    fp = tmp_path / "floors.json"
+    rfp = tmp_path / "ratio_floors.json"
+    # best/3 floor = 100 (best 300); ratio floor recorded at best ratio 3.0
+    fp.write_text(json.dumps({"m": {"floor": 100.0, "best": 300.0}}))
+    rfp.write_text(json.dumps({"m": {"floor": 3.0}}))
+
+    # healthy run, calm weather: value 300, ref 100 → ratio 3.0
+    ok = [{"metric": "m", "value": 300.0, "ref_rate": 100.0, "ratio": 3.0}]
+    assert bench_all.check_floors(ok, str(fp),
+                                  ratio_floors_path=str(rfp)) == []
+    # 1.3x CODE regression in calm weather: value 230 passes the absolute
+    # gate (230 > 0.8*100) but ratio 2.3 < 0.8*3.0 → FAIL
+    reg = [{"metric": "m", "value": 230.0, "ref_rate": 100.0, "ratio": 2.3}]
+    fails = bench_all.check_floors(reg, str(fp), ratio_floors_path=str(rfp))
+    assert len(fails) == 1 and "ratio" in fails[0]
+    # 2x tunnel-weather slowdown scales BOTH: value 150, ref 50 → ratio 3.0
+    # passes the ratio gate (and the loose absolute gate)
+    weather = [{"metric": "m", "value": 150.0, "ref_rate": 50.0,
+                "ratio": 3.0}]
+    assert bench_all.check_floors(weather, str(fp),
+                                  ratio_floors_path=str(rfp)) == []
+    # records without a ratio (e.g. CPU smoke) skip the ratio gate
+    plain = [{"metric": "m", "value": 300.0}]
+    assert bench_all.check_floors(plain, str(fp),
+                                  ratio_floors_path=str(rfp)) == []

@@ -184,3 +184,34 @@ def test_fused_under_mesh_matches_pure(shape):
     for a, b in zip(g_got, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_fused_bf16_primals_grads_match_and_keep_dtype():
+    """bf16 activations (TrainConfig.act_dtype): q / v_true may arrive in
+    bfloat16 — the kernel must emit dq/dvt in the PRIMAL dtype (custom_vjp
+    aval contract) and stay close to the pure-JAX oracle run at the same
+    precision."""
+    q, true_ids, table, bias_v, rng = _setup(7)
+
+    def f(use_kernel):
+        def loss(q16, table16, bias_v):
+            return sampled_softmax_loss(
+                q16, true_ids,
+                embed=lambda ids: (table16[ids], bias_v[ids]),
+                rng=rng, num_sampled=S, vocab=V,
+                compute_dtype=jnp.float32, use_kernel=use_kernel)
+        return jax.value_and_grad(loss, argnums=(0, 1, 2))(
+            q.astype(jnp.bfloat16), table.astype(jnp.bfloat16), bias_v)
+
+    (lr, (gq_r, gt_r, gb_r)) = f(False)
+    (lk, (gq_k, gt_k, gb_k)) = f(True)
+    assert gq_k.dtype == jnp.bfloat16 and gt_k.dtype == jnp.bfloat16
+    np.testing.assert_allclose(float(lk), float(lr), rtol=1e-2)
+    np.testing.assert_allclose(np.asarray(gq_k, np.float32),
+                               np.asarray(gq_r, np.float32),
+                               rtol=0.1, atol=0.02)
+    np.testing.assert_allclose(np.asarray(gt_k, np.float32),
+                               np.asarray(gt_r, np.float32),
+                               rtol=0.1, atol=0.02)
+    np.testing.assert_allclose(np.asarray(gb_k), np.asarray(gb_r),
+                               rtol=2e-2, atol=2e-3)
