@@ -30,6 +30,7 @@ logical bytes under TPU T(8,128) tiling).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +40,18 @@ from jax.experimental.pallas import tpu as pltpu
 from arec.kernels.lstm_scan import _interpret
 
 NEG = -1e9
+
+
+def _folded() -> bool:
+    """VPU-pass folding (round-4 lever c): collapse the −logQ add, hit
+    mask, and exp into one [NT, S] traversal via an upper-bound row max.
+    MEASURED LOSER (xplane per-op, adjacent processes, N=65536 S=1024 aug):
+    folded fwd 0.286/bwd 0.432 ms vs 0.268/0.392 unfolded — Mosaic already
+    register-fuses the original add/where/exp chain, so "folding" only
+    added per-element arithmetic (the 3-term exp argument and log(g)).
+    Default OFF; AREC_CE_FOLD=1 re-enables the variant for re-measurement
+    on future toolchains (CLAUDE.md losing-path convention)."""
+    return os.environ.get("AREC_CE_FOLD", "0") == "1"
 
 
 def _pad_rows(x, mult):
@@ -131,22 +144,39 @@ def _true_side(q, vt_ref, rin_ref, *, aug, dtype):
 
 
 def _sums_fwd_kernel(q_ref, vt_ref, vs_ref, cs_ref, rin_ref, sid_ref,
-                     rout_ref, sums_ref, *, aug, dtype):
+                     rout_ref, sums_ref, *, aug, dtype, folded):
     @pl.when(pl.program_id(0) == 0)
     def _():
         sums_ref[:] = jnp.zeros_like(sums_ref)
 
     q = q_ref[:]
-    logits = jax.lax.dot_general(
+    raw = jax.lax.dot_general(
         q.astype(dtype), vs_ref[:].astype(dtype),
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) + cs_ref[:]          # [NT, S]
+        preferred_element_type=jnp.float32)                      # [NT, S]
     _, tl, tid, w = _true_side(q, vt_ref, rin_ref, aug=aug, dtype=dtype)
     hit = tid == sid_ref[:]                            # [NT, S]
-    logits = jnp.where(hit, NEG, logits)
-    m = jnp.maximum(jnp.max(logits, axis=1, keepdims=True), tl)
-    lse = m + jnp.log(jnp.exp(tl - m)
-                      + jnp.sum(jnp.exp(logits - m), axis=1, keepdims=True))
+    if folded:
+        # VPU-pass-folded variant (the kernel is VPU-bound on [NT, S]
+        # traversals — BASELINE.md nt sweep): take the row max of the RAW
+        # logits and bound the corrected max by m_raw + max(cs). Any
+        # m >= max(contributing logits) yields the exact lse, so the
+        # correction add, hit mask, and exp collapse into ONE fused
+        # elementwise traversal instead of add/where/max-after-mask/exp.
+        # The bound overshoots by at most range(cs) (~10 for log-uniform at
+        # 1M vocab): exp values scale down by e^-10, far above f32
+        # underflow, and lse = m + log(sum) is unchanged.
+        m = jnp.maximum(jnp.max(raw, axis=1, keepdims=True) + jnp.max(cs_ref[:]),
+                        tl)
+        ssum = jnp.sum(jnp.where(hit, 0.0, jnp.exp(raw + cs_ref[:] - m)),
+                       axis=1, keepdims=True)
+        lse = m + jnp.log(jnp.exp(tl - m) + ssum)
+    else:
+        logits = jnp.where(hit, NEG, raw + cs_ref[:])
+        m = jnp.maximum(jnp.max(logits, axis=1, keepdims=True), tl)
+        lse = m + jnp.log(
+            jnp.exp(tl - m)
+            + jnp.sum(jnp.exp(logits - m), axis=1, keepdims=True))
     ce = lse - tl                                      # [NT, 1]
     lane2 = jax.lax.broadcasted_iota(jnp.int32, (ce.shape[0], 2), 1)
     rout_ref[:] = jnp.where(lane2 == 0, ce, lse)
@@ -159,7 +189,7 @@ def _sums_fwd_kernel(q_ref, vt_ref, vs_ref, cs_ref, rin_ref, sid_ref,
 def _sums_bwd_kernel(q_ref, vt_ref, vs_ref, cs_ref, rin_ref, sid_ref,
                      rout_ref, scale_ref,
                      dq_ref, dvt_ref, dvs_ref, dbs_ref, dbt_ref=None, *, aug,
-                     dtype):
+                     dtype, folded):
     @pl.when(pl.program_id(0) == 0)
     def _():
         dvs_ref[:] = jnp.zeros_like(dvs_ref)
@@ -167,21 +197,26 @@ def _sums_bwd_kernel(q_ref, vt_ref, vs_ref, cs_ref, rin_ref, sid_ref,
 
     q = q_ref[:]
     vs = vs_ref[:]
-    logits = jax.lax.dot_general(
+    raw = jax.lax.dot_general(
         q.astype(dtype), vs.astype(dtype),
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) + cs_ref[:]
+        preferred_element_type=jnp.float32)
     v, tl, tid, w = _true_side(q, vt_ref, rin_ref, aug=aug, dtype=dtype)
     hit = tid == sid_ref[:]
-    logits = jnp.where(hit, NEG, logits)
 
     lse = jax.lax.bitcast_convert_type(
         _pick_lane_bits(rout_ref[:], 1), jnp.float32)  # [NT, 1]
     g = scale_ref[0, 0] * w                            # [NT, 1]
-    p = jnp.exp(logits - lse)                          # [NT, S]
     pt = jnp.exp(tl - lse)                             # [NT, 1]
-    wp = g * p                                         # [NT, S]
     wt = g * (pt - 1.0)                                # [NT, 1]
+    if folded:
+        # one fused [NT, S] traversal: cs add, hit mask, g scale (as +log g;
+        # g >= 0, log(0) = -inf exponentiates to exactly 0), and exp — vs
+        # add/where/exp/mult as four traversals (see _sums_fwd_kernel)
+        wp = jnp.where(hit, 0.0, jnp.exp(raw + cs_ref[:] - lse + jnp.log(g)))
+    else:
+        logits = jnp.where(hit, NEG, raw + cs_ref[:])
+        wp = g * jnp.exp(logits - lse)                 # [NT, S]
 
     # dq/dvt stores cast to the REF dtype: with bf16 activations
     # (TrainConfig.act_dtype) the q/v_true primals are bf16, and custom_vjp
@@ -238,7 +273,8 @@ def _sums_forward(q, v_true, v_samp, c_samp, rin, sampled_ids, *, nt, dtype):
     rep = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
     rout, sums = pl.pallas_call(
-        functools.partial(_sums_fwd_kernel, aug=aug, dtype=dtype),
+        functools.partial(_sums_fwd_kernel, aug=aug, dtype=dtype,
+                          folded=_folded()),
         grid=grid,
         in_specs=[row(q.shape[1]), row(v_true.shape[1]),
                   rep(s, q.shape[1]), rep(1, s), row(3), rep(1, s)],
@@ -279,7 +315,8 @@ def _sums_backward(q, v_true, v_samp, c_samp, rin, sampled_ids, rout,
         out_specs.append(col)
         out_shape.append(jax.ShapeDtypeStruct((np_, 1), jnp.float32))
     outs = pl.pallas_call(
-        functools.partial(_sums_bwd_kernel, aug=aug, dtype=dtype),
+        functools.partial(_sums_bwd_kernel, aug=aug, dtype=dtype,
+                          folded=_folded()),
         grid=grid,
         in_specs=[row(d), row(dt), rep(s, d), rep(1, s), row(3), rep(1, s),
                   row(2),

@@ -77,12 +77,14 @@ def main():
 
     variants = ("dense", "sparse")
     states, steps, counters = {}, {}, {}
-    params = init_mf(jax.random.key(0), spec)
-    states["dense"] = init_state(params, opt)
+    # independent param trees per variant: the steps DONATE their state, so
+    # sharing buffers across variants deletes the other's arrays
+    states["dense"] = init_state(init_mf(jax.random.key(0), spec), opt)
     steps["dense"] = make_multi_step(
         lambda p, b, r: mf_loss(p, spec, udev, idev, b, r),
         opt, cfg.train.learning_rate)
-    states["sparse"] = init_sparse_state(params, table_paths(False, spec),
+    states["sparse"] = init_sparse_state(init_mf(jax.random.key(0), spec),
+                                         table_paths(False, spec),
                                          opt, "adagrad")
     steps["sparse"] = make_sparse_multi_step(
         False, spec, udev, idev, opt, cfg.train.learning_rate, "adagrad")
