@@ -100,9 +100,13 @@ class TrainConfig:
     sampler_power: float = 1.0  # α distortion for sampler="pop"
     seed: int = 0
     eval_topk: int = 30         # Recall@30 is the graded metric (BASELINE.json:2)
-    eval_batch_size: int = 256  # rows per eval dispatch; raise at production
-                                # vocab (V=1.3M measured dispatch-bound at
-                                # 256 — BASELINE.md XING rehearsal)
+    eval_batch_size: int = 256  # rows per eval dispatch. Round-4 A/B at
+                                # V=1.3M (tools/ab_eval_serve.py,
+                                # interleaved): 2121/2161/2196 users/s at
+                                # 256/1024/2048 — exact eval is
+                                # score+top_k-bound, NOT dispatch-bound, so
+                                # batch size is a ~3% knob; the real eval
+                                # cost lever is eval_recall_target (~17x).
     eval_max_batches: int = 0   # 0 = sweep every held-out row; else cap the
                                 # periodic eval to this many batches per
                                 # host (a uniform strided subsample — the
