@@ -207,13 +207,32 @@ def warp_loss(
                                    # agreement (tests/test_sparse.py loss
                                    # sweep)
 ) -> jnp.ndarray:
-    """WARP with parallel sampled rank estimation: with S negative draws
-    from `dist` and m margin violations, the estimated rank of the positive
-    is ≈ (V−1)·m/S; loss = Φ(rank)·mean hinge, Φ(r) = log(1+r) (Weston et
-    al. 2011, batch approximation as in the reference's warp branch). The
-    proposal probability is irrelevant here (no softmax correction); only
-    the drawn ids matter."""
-    sampled_ids, _ = sampled if sampled is not None else draw(
+    """WARP with parallel sampled rank estimation: S negative draws from
+    `dist`, margin violations estimate the positive's rank, loss =
+    Φ(rank)·mean hinge, Φ(r) = log(1+r) (Weston et al. 2011, batch
+    approximation as in the reference's warp branch).
+
+    Rank estimator by proposal:
+      * uniform: the classic (V−1)·m/S (each draw "covers" (V−1)/S items) —
+        kept verbatim for reference parity.
+      * non-uniform (log_uniform/pop): (V−1)·m/S is badly biased — the
+        proposal over-draws popular items, and popular items violate the
+        margin at a different rate than the tail, so the estimated rank,
+        the violating-hinge mean, and (through autodiff) the per-negative
+        gradients are all popularity-skewed. The fix is the full
+        Horvitz–Thompson correction: each draw j is weighted by the
+        vocabulary mass it stands for, w_j = 1/(S·P(j)) — rank ≈
+        Σ_j w_j·1{violation_j} (clipped to V−1), hinge mean ≈
+        Σ w_j·hinge_j / Σ w_j·1{violation_j}. Unbiased for ANY proposal;
+        reduces to the classic estimator under uniform. Measured on the
+        real chip (BASELINE.md round-4 anchors, syn_mf to convergence):
+        log_uniform warp Recall@30 0.102 biased → 0.108 with rank-only HT
+        → **0.256 with the full correction**, matching uniform-sampler
+        warp (0.255) — the 2.5× sampler-bias recall loss is closed and
+        train.sampler is now semantics-preserving for warp.
+        (tests/test_losses.py::test_warp_ht_rank_unbiased_under_log_uniform)
+    """
+    sampled_ids, p = sampled if sampled is not None else draw(
         rng, num_sampled, vocab, dist, pop)
     v_true, b_true = embed(true_ids)
     v_samp, b_samp = embed(sampled_ids)
@@ -224,9 +243,19 @@ def warp_loss(
     hinge = jnp.where(hit, 0.0, hinge)
     violations = (hinge > 0).astype(jnp.float32)
     m = violations.sum(axis=1)                                     # [N]
-    rank = (vocab - 1) * m / num_sampled
+    if dist == "uniform":
+        rank = (vocab - 1) * m / num_sampled
+        mean_hinge = hinge.sum(axis=1) / jnp.maximum(m, 1.0)
+    else:
+        # full HT correction: the violating-item mean must also weight each
+        # draw by the vocabulary mass it stands for, or head items (drawn
+        # ~63% of the time under log-uniform) dominate both the hinge mean
+        # and — through autodiff — the per-negative gradients
+        inv = (1.0 / (num_sampled * p))[None, :]                   # [1, S]
+        wm = (violations * inv).sum(axis=1)                        # ~rank
+        rank = jnp.minimum(wm, vocab - 1.0)
+        mean_hinge = (hinge * inv).sum(axis=1) / jnp.maximum(wm, 1e-6)
     phi = jnp.log1p(rank)
-    mean_hinge = hinge.sum(axis=1) / jnp.maximum(m, 1.0)
     return (phi * mean_hinge).mean()
 
 
