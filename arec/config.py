@@ -98,6 +98,15 @@ class TrainConfig:
                                 # negatives and draw nothing, so this knob
                                 # does not apply to them.
     sampler_power: float = 1.0  # α distortion for sampler="pop"
+    batch_ht: bool = False      # loss=mw|bbpr only: Horvitz–Thompson-
+                                # correct the in-batch proposal (batch
+                                # positives are popularity-distributed, not
+                                # uniform — the same bias the round-4 WARP
+                                # fix closed for sampled losses). Default
+                                # off = AAAI'18 paper-faithful estimator;
+                                # see losses.py _ht_weights + BASELINE.md
+                                # round-4 anchors. No effect on other
+                                # losses.
     seed: int = 0
     eval_topk: int = 30         # Recall@30 is the graded metric (BASELINE.json:2)
     eval_batch_size: int = 256  # rows per eval dispatch. Round-4 A/B at

@@ -291,11 +291,32 @@ def bpr_loss(
 # score matrix is logically global and XLA inserts the gather itself.
 # diag_offset is this shard's row offset into the gathered axis (the own-
 # positive column index of local row i is diag_offset + i).
+#
+# pop_probs (optional [V] f32, empirical train-interaction item probs from
+# make_pop(item_freq, 1.0)[1]): turns on the Horvitz–Thompson correction
+# for the in-batch proposal. In-batch negatives are NOT uniform draws —
+# each candidate column is a batch positive, i.e. one draw from the
+# empirical popularity distribution q — yet the paper's rank estimate
+# (vocab−1)·m/(B−1) and the unweighted hinge/log-σ means all assume a
+# uniform proposal, exactly the bias the round-4 WARP fix closed for the
+# sampled losses (warp_loss docstring; 2.5× recall measured). With
+# pop_probs given, draw j is weighted by the vocabulary mass it stands
+# for, w_j = 1/(n_eff·q_j) (n_eff = this row's usable-negative count),
+# making rank and both means unbiased for the empirical proposal; it
+# reduces to the paper's estimator when q is uniform. Default None keeps
+# the AAAI'18 paper-faithful behavior (train.batch_ht=false).
+
+
+def _ht_weights(cand_ids, same, pop_probs):
+    """[b, B] HT weights: vocabulary mass each usable draw stands for."""
+    q = jnp.maximum(pop_probs[cand_ids], 1e-12)                    # [B]
+    n_eff = jnp.maximum((~same).sum(axis=1, keepdims=True), 1)     # [b, 1]
+    return jnp.where(same, 0.0, 1.0 / (n_eff * q[None, :]))
 
 
 def _batch_scores(query, true_ids, embed, compute_dtype, gather_cands):
     """Shared in-batch scoring: (scores [b, B], own-positive column scores
-    [b], duplicate-positive mask [b, B], candidate count B)."""
+    [b], duplicate-positive mask [b, B], candidate ids [B])."""
     v, b_bias = embed(true_ids)                                    # [b, D]
     if gather_cands is None:
         cand_ids, off = true_ids, 0
@@ -306,35 +327,49 @@ def _batch_scores(query, true_ids, embed, compute_dtype, gather_cands):
     diag = off + jnp.arange(n)
     pos = jnp.take_along_axis(scores, diag[:, None], axis=1)[:, 0]
     same = cand_ids[None, :] == true_ids[:, None]                  # dup-pos
-    return scores, pos, same, cand_ids.shape[0]
+    return scores, pos, same, cand_ids
 
 
 def batch_mw_loss(
     query, true_ids, embed: EmbedBias,
     vocab: int, margin: float = 1.0, compute_dtype=jnp.bfloat16,
-    gather_cands=None,
+    gather_cands=None, pop_probs=None,
 ) -> jnp.ndarray:
     """`mw`: margin + rank-weighted hinge over the in-batch score matrix;
-    positives sit on the diagonal, every other column is a negative."""
-    scores, pos, same, ncand = _batch_scores(
+    positives sit on the diagonal, every other column is a negative.
+    `pop_probs` turns on the HT correction for the (popularity-skewed)
+    in-batch proposal — see the module comment above _ht_weights."""
+    scores, pos, same, cand_ids = _batch_scores(
         query, true_ids, embed, compute_dtype, gather_cands)
     hinge = jnp.maximum(0.0, margin + scores - pos[:, None])
     hinge = jnp.where(same, 0.0, hinge)
-    m = (hinge > 0).sum(axis=1).astype(jnp.float32)
-    rank = (vocab - 1) * m / jnp.maximum(ncand - 1, 1)
+    if pop_probs is None:
+        m = (hinge > 0).sum(axis=1).astype(jnp.float32)
+        rank = (vocab - 1) * m / jnp.maximum(cand_ids.shape[0] - 1, 1)
+        mean_hinge = hinge.sum(axis=1) / jnp.maximum(m, 1.0)
+    else:
+        w = _ht_weights(cand_ids, same, pop_probs)
+        wm = (w * (hinge > 0)).sum(axis=1)                         # ~rank
+        rank = jnp.minimum(wm, vocab - 1.0)
+        mean_hinge = (w * hinge).sum(axis=1) / jnp.maximum(wm, 1e-6)
     phi = jnp.log1p(rank)
-    mean_hinge = hinge.sum(axis=1) / jnp.maximum(m, 1.0)
     return (phi * mean_hinge).mean()
 
 
 def batch_bpr_loss(
     query, true_ids, embed: EmbedBias, compute_dtype=jnp.bfloat16,
-    gather_cands=None,
+    gather_cands=None, pop_probs=None,
 ) -> jnp.ndarray:
-    """`bbpr`: BPR over the in-batch score matrix."""
-    scores, pos, same, _ = _batch_scores(
+    """`bbpr`: BPR over the in-batch score matrix. `pop_probs` turns on
+    the HT correction (self-normalized: Σw·logσ / Σw estimates the
+    uniform-over-vocab mean the unweighted form assumes)."""
+    scores, pos, same, cand_ids = _batch_scores(
         query, true_ids, embed, compute_dtype, gather_cands)
     ll = jax.nn.log_sigmoid(pos[:, None] - scores)
     ll = jnp.where(same, 0.0, ll)
-    denom = jnp.maximum((~same).sum(axis=1).astype(jnp.float32), 1.0)
-    return -(ll.sum(axis=1) / denom).mean()
+    if pop_probs is None:
+        denom = jnp.maximum((~same).sum(axis=1).astype(jnp.float32), 1.0)
+        return -(ll.sum(axis=1) / denom).mean()
+    w = _ht_weights(cand_ids, same, pop_probs)
+    return -((w * ll).sum(axis=1)
+             / jnp.maximum(w.sum(axis=1), 1e-12)).mean()

@@ -40,6 +40,8 @@ class MFSpec:
     loss: str = "ce"
     num_sampled: int = 256
     sampler: str = "log_uniform"
+    batch_ht: bool = False         # HT-correct mw/bbpr's in-batch proposal
+                                   # (train.batch_ht; losses.py _ht_weights)
     keep_prob: float = 1.0
     compute_dtype: str = "bfloat16"
     act_dtype: str = "float32"     # TRAIN-path activation dtype
@@ -59,7 +61,7 @@ class MFSpec:
         return MFSpec(
             user=mk(user_schema), item=mk(item_schema, wb=True),
             loss=cfg.train.loss, num_sampled=cfg.train.num_sampled,
-            sampler=cfg.train.sampler,
+            sampler=cfg.train.sampler, batch_ht=cfg.train.batch_ht,
             keep_prob=cfg.model.keep_prob,
             compute_dtype=cfg.train.compute_dtype,
             act_dtype=cfg.train.act_dtype,
@@ -137,12 +139,20 @@ def mf_loss(
                         sampled=sampled, pop=pop)
     # mw/bbpr reuse in-batch positives as shared negatives (AAAI'18): no
     # sampled draw exists, so train.sampler does not apply to them.
+    pp = None
+    if spec.batch_ht and spec.loss in ("mw", "bbpr"):
+        if pop is None:
+            raise ValueError(
+                "train.batch_ht needs the empirical item distribution: the "
+                "trainer must pass pop=make_pop(item_freq, 1.0) (loop.py "
+                "builds it whenever batch_ht is set with loss=mw|bbpr)")
+        pp = pop[1]
     if spec.loss == "mw":
         return batch_mw_loss(u, pos, embed, vocab, compute_dtype=spec.dtype,
-                             gather_cands=gather_cands)
+                             gather_cands=gather_cands, pop_probs=pp)
     if spec.loss == "bbpr":
         return batch_bpr_loss(u, pos, embed, compute_dtype=spec.dtype,
-                              gather_cands=gather_cands)
+                              gather_cands=gather_cands, pop_probs=pp)
     raise ValueError(f"unknown mf loss {spec.loss!r}")
 
 

@@ -202,8 +202,14 @@ class Trainer:
             self._devs["user"] = self.user_dev
 
         # ---- sampler proposal (sampler="pop": empirical popularity^α over
-        # the dataset's train item counts; log_uniform/uniform need no state)
-        if cfg.train.sampler == "pop":
+        # the dataset's train item counts; log_uniform/uniform need no
+        # state). batch_ht with mw/bbpr needs the α=1 empirical
+        # distribution — the in-batch proposal IS the interaction
+        # distribution, so sampler_power does not apply there.
+        if cfg.train.batch_ht and cfg.train.loss in ("mw", "bbpr"):
+            from arec.losses.sampling import make_pop
+            self.pop = make_pop(self.ds.item_freq, 1.0)
+        elif cfg.train.sampler == "pop":
             from arec.losses.sampling import make_pop
             self.pop = make_pop(self.ds.item_freq, cfg.train.sampler_power)
         else:

@@ -347,3 +347,111 @@ def test_warp_ht_rank_unbiased_under_log_uniform():
     old = mean_est(True)   # the pre-round-4 behavior on the same draws
     assert abs(ht - exact) / exact < 0.05, (ht, exact)
     assert abs(old - exact) / exact > 0.25, (old, exact)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 extension: HT-corrected in-batch losses (train.batch_ht).
+# In-batch negatives are popularity-distributed (each candidate column is a
+# batch positive ~ the empirical interaction distribution), so the AAAI'18
+# estimators inherit exactly the uniform-proposal bias the WARP fix closed
+# for sampled losses. With pop_probs, both batch losses must be unbiased
+# for the exact full-population objective under ANY positive distribution.
+# ---------------------------------------------------------------------------
+
+def _ht_regime():
+    """Popularity-skewed regime where violations correlate with popularity:
+    50 head items (score 1.0, 80% of draw mass) violate for every tail
+    positive; 450 tail items (score -3.0) violate only against each other
+    by the margin."""
+    Vv, HEAD = 500, 50
+    scores = np.full(Vv, -3.0, np.float32)
+    scores[:HEAD] = 1.0
+    table = jnp.asarray(scores)[:, None]
+    bias = jnp.zeros(Vv, jnp.float32)
+    emb = lambda ids: (table[ids], bias[ids])
+    q = np.full(Vv, 0.2 / (Vv - HEAD))
+    q[:HEAD] = 0.8 / HEAD
+    q = (q / q.sum()).astype(np.float32)
+    return Vv, scores, emb, q
+
+
+def test_batch_mw_ht_unbiased_under_popularity_proposal():
+    Vv, scores, emb, q = _ht_regime()
+    margin, Bb, trials = 0.5, 256, 32
+    qj = jnp.asarray(q)
+
+    def oracle(tids):   # exact full-population mw, each ITEM counted once
+        out = []
+        for t in tids:
+            hin = np.maximum(0.0, margin + scores - scores[t])
+            mask = np.ones(Vv, bool); mask[t] = False
+            viol = (hin > 0) & mask
+            rank = min(viol.sum(), Vv - 1)
+            out.append(np.log1p(rank)
+                       * (hin[viol].sum() / max(viol.sum(), 1)))
+        return float(np.mean(out))
+
+    ht, paper, orc = [], [], []
+    for s in range(trials):
+        r = np.random.default_rng(100 + s)
+        tj = jnp.asarray(r.choice(Vv, size=Bb, p=q).astype(np.int32))
+        ql = jnp.ones((Bb, 1), jnp.float32)
+        ht.append(float(batch_mw_loss(ql, tj, emb, Vv, margin=margin,
+                                      compute_dtype=jnp.float32,
+                                      pop_probs=qj)))
+        paper.append(float(batch_mw_loss(ql, tj, emb, Vv, margin=margin,
+                                         compute_dtype=jnp.float32)))
+        orc.append(oracle(np.asarray(tj)))
+    ht, paper, orc = np.mean(ht), np.mean(paper), np.mean(orc)
+    assert abs(ht - orc) / orc < 0.05, (ht, orc)        # measured 0.007
+    assert abs(paper - orc) / orc > 0.5, (paper, orc)   # measured 1.6x off
+
+
+def test_batch_bpr_ht_unbiased_under_popularity_proposal():
+    Vv, scores, emb, q = _ht_regime()
+    Bb, trials = 256, 32
+    qj = jnp.asarray(q)
+
+    def oracle(tids):   # exact uniform-over-vocab mean log-sigmoid
+        out = []
+        for t in tids:
+            ll = -np.log1p(np.exp(-(scores[t] - scores)))
+            mask = np.ones(Vv, bool); mask[t] = False
+            out.append(-(ll[mask].mean()))
+        return float(np.mean(out))
+
+    ht, paper, orc = [], [], []
+    for s in range(trials):
+        r = np.random.default_rng(200 + s)
+        tj = jnp.asarray(r.choice(Vv, size=Bb, p=q).astype(np.int32))
+        ql = jnp.ones((Bb, 1), jnp.float32)
+        ht.append(float(batch_bpr_loss(ql, tj, emb,
+                                       compute_dtype=jnp.float32,
+                                       pop_probs=qj)))
+        paper.append(float(batch_bpr_loss(ql, tj, emb,
+                                          compute_dtype=jnp.float32)))
+        orc.append(oracle(np.asarray(tj)))
+    ht, paper, orc = np.mean(ht), np.mean(paper), np.mean(orc)
+    assert abs(ht - orc) / orc < 0.05, (ht, orc)        # measured 0.017
+    assert abs(paper - orc) / orc > 0.5, (paper, orc)   # measured 3.1x off
+
+
+def test_batch_ht_reduces_to_paper_under_uniform_proposal():
+    """Under a uniform empirical distribution the HT weights are constant,
+    so both corrected losses must agree with the paper estimator up to the
+    V/(V-1) population-size factor inside phi (tiny at V=60)."""
+    rng = np.random.default_rng(3)
+    table = jnp.asarray(rng.normal(size=(V, D)) * 0.3, jnp.float32)
+    bias_arr = jnp.asarray(rng.normal(size=(V,)) * 0.1, jnp.float32)
+    emb = lambda ids: (table[ids], bias_arr[ids])
+    q = jnp.asarray(rng.normal(size=(B, D)) * 0.3, jnp.float32)
+    tid = jnp.asarray(rng.permutation(V)[:B].astype(np.int32))  # distinct
+    unif = jnp.full((V,), 1.0 / V, jnp.float32)
+    a = float(batch_bpr_loss(q, tid, emb, compute_dtype=jnp.float32))
+    b = float(batch_bpr_loss(q, tid, emb, compute_dtype=jnp.float32,
+                             pop_probs=unif))
+    np.testing.assert_allclose(a, b, rtol=1e-5)   # bbpr: exactly equal
+    a = float(batch_mw_loss(q, tid, emb, V, compute_dtype=jnp.float32))
+    b = float(batch_mw_loss(q, tid, emb, V, compute_dtype=jnp.float32,
+                            pop_probs=unif))
+    np.testing.assert_allclose(a, b, rtol=0.05)   # mw: V vs V-1 in rank

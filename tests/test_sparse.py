@@ -216,3 +216,69 @@ def test_sparse_trainer_end_to_end(tmp_path):
     assert np.isfinite(summary["recall_at_k"])
     rows = trainer.recommend(k=5)
     assert len(rows) > 0 and len(rows[0][1]) == 5
+
+
+@pytest.mark.parametrize("loss", ["mw", "bbpr"])
+def test_mf_sparse_batch_ht_matches_dense(tmp_path, loss):
+    """train.batch_ht (HT-corrected in-batch proposal, round-4 extension)
+    must hold the same dense-oracle parity invariant as the paper
+    estimators — pop rides both step factories identically."""
+    from dataclasses import replace
+    from arec.losses.sampling import make_pop
+    cfg = _cfg("mf", tmp_path, "adagrad", 0, loss=loss)
+    ds = load_or_prepare(cfg.data)
+    spec = replace(
+        mf_mod.MFSpec.from_config(cfg, ds.user_schema, ds.item_schema),
+        batch_ht=True)
+    pop = make_pop(ds.item_freq, 1.0)
+    params = mf_mod.init_mf(jax.random.key(0), spec)
+    user_dev = attrs_to_device(ds.user_attrs.restrict(spec.user.schema),
+                               spec.user)
+    item_dev = attrs_to_device(ds.item_attrs.restrict(spec.item.schema),
+                               spec.item)
+    opt = make_optimizer("adagrad", cfg.train.learning_rate)
+
+    dense_step = make_train_step(
+        lambda p, b, r: mf_mod.mf_loss(p, spec, user_dev, item_dev, b, r,
+                                       pop=pop),
+        opt, cfg.train.learning_rate, donate=False)
+    d_state = init_state(params, opt)
+    sparse_step = make_sparse_train_step(
+        False, spec, user_dev, item_dev, opt, cfg.train.learning_rate,
+        "adagrad", pop=pop)
+    s_state = init_sparse_state(params, table_paths(False, spec), opt,
+                                "adagrad")
+
+    rng = jax.random.key(7)
+    for i, batch in enumerate(mf_batches(ds, cfg.train.batch_size, 0, 0)):
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        rng, sub = jax.random.split(rng)
+        d_state, dm = dense_step(d_state, jb, sub)
+        s_state, sm = sparse_step(s_state, jb, sub)
+        np.testing.assert_allclose(float(dm["loss"]), float(sm["loss"]),
+                                   rtol=1e-5, atol=1e-7)
+        if i >= 2:
+            break
+    _steps_equal(d_state.params,
+                 unpack_params(s_state.params, table_paths(False, spec)))
+
+
+def test_batch_ht_requires_pop(tmp_path):
+    """batch_ht without the empirical distribution must fail loudly at
+    trace time, never silently fall back to the biased estimator."""
+    from dataclasses import replace
+    cfg = _cfg("mf", tmp_path, "adagrad", 0, loss="mw")
+    ds = load_or_prepare(cfg.data)
+    spec = replace(
+        mf_mod.MFSpec.from_config(cfg, ds.user_schema, ds.item_schema),
+        batch_ht=True)
+    params = mf_mod.init_mf(jax.random.key(0), spec)
+    user_dev = attrs_to_device(ds.user_attrs.restrict(spec.user.schema),
+                               spec.user)
+    item_dev = attrs_to_device(ds.item_attrs.restrict(spec.item.schema),
+                               spec.item)
+    batch = next(iter(mf_batches(ds, cfg.train.batch_size, 0, 0)))
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    with pytest.raises(ValueError, match="batch_ht"):
+        mf_mod.mf_loss(params, spec, user_dev, item_dev, jb,
+                       jax.random.key(0))

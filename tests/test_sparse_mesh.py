@@ -17,7 +17,7 @@ from arec.train.sparse import table_paths, unpack_params
 
 
 def _cfg(tmp_path, sparse, model="mf", row_shard="contiguous", k=1,
-         mesh=(2, 4), loss="ce"):
+         mesh=(2, 4), loss="ce", batch_ht=False):
     return Config(
         data=DataConfig(dataset="synthetic", data_dir=str(tmp_path / "d"),
                         syn_users=300, syn_items=250, syn_interactions=8000),
@@ -26,6 +26,7 @@ def _cfg(tmp_path, sparse, model="mf", row_shard="contiguous", k=1,
         train=TrainConfig(batch_size=64, num_sampled=32, n_epoch=1, loss=loss,
                           steps_per_checkpoint=1000, sparse_update=sparse,
                           steps_per_dispatch=k, compute_dtype="float32",
+                          batch_ht=batch_ht,
                           train_dir=str(tmp_path / f"t_{sparse}_{model}")),
         mesh=MeshConfig(data=mesh[0], model=mesh[1], lookup="alltoall",
                         row_shard=row_shard),
@@ -71,10 +72,16 @@ def test_sparse_mesh_matches_dense_mesh(tmp_path, model, row_shard, mesh):
 # sampler; mw/bbpr additionally need the GLOBAL in-batch candidate set —
 # per-shard batches would silently shrink the negative pool vs the dense
 # GSPMD oracle's logical [B, B] score matrix)
-@pytest.mark.parametrize("loss", ["warp", "bpr", "mw", "bbpr"])
-def test_sparse_mesh_losses_match_dense_mesh(tmp_path, loss):
-    td = Trainer(_cfg(tmp_path, False, loss=loss, row_shard="shuffle"))
-    ts = Trainer(_cfg(tmp_path, True, loss=loss, row_shard="shuffle"))
+@pytest.mark.parametrize("loss,batch_ht", [
+    ("warp", False), ("bpr", False), ("mw", False), ("bbpr", False),
+    # round-4 HT-corrected in-batch proposal: pop_probs lookups ride the
+    # GLOBAL gathered candidate ids inside shard_map — parity must hold
+    ("mw", True), ("bbpr", True)])
+def test_sparse_mesh_losses_match_dense_mesh(tmp_path, loss, batch_ht):
+    td = Trainer(_cfg(tmp_path, False, loss=loss, row_shard="shuffle",
+                      batch_ht=batch_ht))
+    ts = Trainer(_cfg(tmp_path, True, loss=loss, row_shard="shuffle",
+                      batch_ht=batch_ht))
     sd, ss = td.state, ts.state
     for i, b in zip(range(3), td._batches(0)):
         jb = {k: jnp.asarray(v) for k, v in b.items()}
