@@ -137,6 +137,22 @@ class TrainConfig:
                                 # (~10x qps at V=300k, per-element recall ≥
                                 # target in expectation). Training eval is
                                 # always exact regardless.
+    serve_latents_dtype: str = "compute"  # {compute, float32} residency of
+                                # the eval/serving all-item latent matrix.
+                                # "compute" pre-casts it to compute_dtype
+                                # once per evaluate()/recommend()/
+                                # Recommender startup — scoring is BIT-
+                                # IDENTICAL (the top-k sweep already casts
+                                # to compute_dtype inside the jit; this
+                                # only moves the cast out of the per-call
+                                # path) and at bf16 halves the matrix's
+                                # HBM residency (V=1.3M·d128: 665→333 MB
+                                # per serving process). Measured A/B at
+                                # V=1.3M (tools/ab_eval_serve.py
+                                # --latents-dtype, interleaved): approx95
+                                # qps 42.9k→44.7k (+4.1%), exact flat, ids
+                                # bitwise equal — BASELINE.md round 4.
+                                # "float32" = the losing legacy residency.
     train_dir: str = "_train"
     max_steps: int = 0          # 0 = unlimited (epoch-bounded); else hard cap
     compute_dtype: str = "bfloat16"  # matmul input dtype; params stay fp32

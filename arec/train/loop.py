@@ -527,7 +527,14 @@ class Trainer:
                 self._lat_jit = jax.jit(
                     lambda p, dev: mf_mod.mf_item_latents(
                         p, spec, dev, lookup_fn=lookup))
-        return self._lat_jit(params, self.item_dev)
+        v, b = self._lat_jit(params, self.item_dev)
+        if self.cfg.train.serve_latents_dtype == "compute":
+            # pre-cast to the dtype every top-k sweep casts to anyway:
+            # bit-identical scores (tools/ab_eval_serve.py --latents-dtype
+            # asserts id parity at V=1.3M), half the HBM residency at
+            # bf16, +4% approx serving qps (BASELINE.md round 4)
+            v = v.astype(self.spec.dtype)
+        return v, b
 
     def _query_fn(self, params, batch):
         """Eval/serve query encode; attribute maps come from the batch's

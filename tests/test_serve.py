@@ -156,3 +156,27 @@ def test_lstm_long_history_segments(tmp_path):
     assert out.shape == (2, cfg.train.eval_topk)
     out2 = rec.from_histories([long, long[:5]], seen=[[], []])
     assert np.array_equal(out, out2)                 # deterministic
+
+
+def test_serve_latents_dtype_parity(tmp_path):
+    """serve_latents_dtype="compute" (bf16-at-rest item matrix, the
+    measured round-4 default) must serve BIT-IDENTICAL ids to the legacy
+    f32 residency — the top-k sweep casts to compute_dtype either way,
+    this knob only moves the cast out of the per-call path. Covers
+    evaluate() too (same _item_latents)."""
+    from dataclasses import replace
+    cfg = _cfg(tmp_path, "mf")
+    tr = Trainer(cfg)
+    tr.train()
+    users = list(range(0, 60, 3))
+    seen = _seen_lists(tr.ds, users)
+    out = {}
+    ev = {}
+    for mode in ("compute", "float32"):
+        c = replace(cfg, train=replace(cfg.train, serve_latents_dtype=mode))
+        t2 = Trainer(c, serve_only=True)
+        ev[mode] = t2.evaluate()
+        out[mode] = Recommender(c, serve_batch=16).for_users(
+            users, seen=seen)
+    assert (out["compute"] == out["float32"]).all()
+    assert ev["compute"] == ev["float32"]

@@ -166,6 +166,58 @@ def bench_latency():
             gc.collect()
 
 
+def bench_latents_dtype(windows=6):
+    """train.serve_latents_dtype A/B at V=1.3M: the top-k sweep casts the
+    item matrix to compute_dtype (bf16) INSIDE the jit on every call — if
+    XLA re-reads the f32 source per query chunk, storing it bf16 at rest
+    halves the sweep's HBM traffic (and its residency: 665→333 MB).
+    Scores are bit-identical either way (same cast, moved). Interleaved
+    same-process windows per the CLAUDE.md measurement protocol."""
+    from arec.retrieval.mips import blocked_topk_mips
+    from arec.models.mf import mf_user_latents
+    tr = _trainer()
+    params = tr._eval_params()
+    v32, b = jax.block_until_ready(tr._item_latents(params))
+    v16 = jax.block_until_ready(v32.astype(tr.spec.dtype))
+    QB, SW = 1024, 64
+    k = jax.random.key(5)
+    uids = jax.random.randint(jax.random.fold_in(k, 0), (QB,), 0,
+                              tr.ds.num_users, dtype=jnp.int32)
+    q = jax.block_until_ready(
+        mf_user_latents(params, tr.spec, tr.user_dev, uids))
+    seen = jax.random.randint(jax.random.fold_in(k, 1), (QB, SW), 0,
+                              v32.shape[0])
+    variants = {}
+    for target in (0.95, 1.0):
+        for name, vv in (("f32", v32), ("bf16", v16)):
+            fn = lambda vv=vv, target=target: blocked_topk_mips(
+                q, vv, b, seen, k=30, recall_target=target,
+                score_mem_mb=512)
+            jax.block_until_ready(fn())      # compile
+            variants[(target, name)] = fn
+    # id parity: the bf16-at-rest ids must be bitwise equal (same cast)
+    for target in (0.95, 1.0):
+        _, ia = variants[(target, "f32")]()
+        _, ib = variants[(target, "bf16")]()
+        assert (np.asarray(ia) == np.asarray(ib)).all(), \
+            f"ids diverged at recall_target={target}"
+    print("id parity ok", flush=True)
+    res = {key: [] for key in variants}
+    for _ in range(windows):
+        for key, fn in variants.items():
+            t0 = time.perf_counter()
+            for _ in range(3):
+                out = fn()
+            jax.block_until_ready(out)
+            res[key].append(3 * QB / (time.perf_counter() - t0))
+    for (target, name), r in res.items():
+        r = sorted(r)
+        rec(metric="xing_full_serve_latents_dtype_ab",
+            mode=("exact" if target == 1.0 else "approx95"),
+            latents=name, qps=round(r[len(r) // 2], 1),
+            windows=[round(x, 1) for x in r])
+
+
 def main():
     if "--eval-batch" in sys.argv:
         bench_eval_batch()
@@ -173,8 +225,11 @@ def main():
         bench_agreement()
     elif "--latency" in sys.argv:
         bench_latency()
+    elif "--latents-dtype" in sys.argv:
+        bench_latents_dtype()
     else:
-        sys.exit("pass --eval-batch, --agreement, or --latency")
+        sys.exit("pass --eval-batch, --agreement, --latency, "
+                 "or --latents-dtype")
 
 
 if __name__ == "__main__":
