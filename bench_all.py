@@ -565,6 +565,20 @@ def check_floors(out: list[dict], floors_path: str = "BENCH_FLOORS.json",
     return fails
 
 
+def canonicalize_for_check(check, quick, kdisp, iters):
+    """Gate runs must measure at the invocation shape the floors were
+    recorded with: floors (absolute AND weather-normalized ratios) are
+    only comparable at matching dispatch depth / iteration count — a
+    --quick/K8 run measures 2-4x lower through dispatch overhead alone
+    and fails every gate spuriously (measured round 4: mf_train 5.79M at
+    K8-quick vs 14.2M at K64-full under the SAME ref_workload_rate;
+    mf_bigvocab_sparse 775k vs 1.94M). Returns (quick, kdisp, iters,
+    forced)."""
+    if check and (quick or kdisp != 64):
+        return False, 64, 50, True
+    return quick, kdisp, iters, False
+
+
 def main():
     from arec.train.step import make_optimizer
 
@@ -573,6 +587,12 @@ def main():
     QUICK, CHECK, KDISP = args.quick, args.check, args.kdisp
     _ONLY = set(args.only.split(",")) if args.only else None
     ITERS = 10 if QUICK else 50
+    QUICK, KDISP, ITERS, forced = canonicalize_for_check(
+        CHECK, QUICK, KDISP, ITERS)
+    if forced:
+        print("[floor-check] --check forces canonical gate parameters "
+              "(full iters, kdisp=64); ignoring --quick/--kdisp",
+              flush=True)
 
     out: list[dict] = []
     opt = make_optimizer("adagrad", 0.3)
@@ -595,6 +615,7 @@ def main():
 
     with open("BASELINE_RUNS.jsonl", "a") as f:
         for rec in out:
+            rec.setdefault("kdisp", KDISP)   # invocation-shape provenance
             f.write(json.dumps(rec) + "\n")
 
     if CHECK:

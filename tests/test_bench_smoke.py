@@ -105,3 +105,21 @@ def test_check_floors_ratio_gate(bench_all, tmp_path):
     plain = [{"metric": "m", "value": 300.0}]
     assert bench_all.check_floors(plain, str(fp),
                                   ratio_floors_path=str(rfp)) == []
+
+
+def test_check_forces_canonical_invocation_shape():
+    """--check must not gate a --quick/odd-kdisp run against floors
+    recorded at K64/full iters (round-4 finding: every gate failed
+    spuriously at K8-quick while the graded bench sat at its record)."""
+    import bench_all
+    # mismatched shapes are forced to canonical
+    assert bench_all.canonicalize_for_check(True, True, 8, 10) == (
+        False, 64, 50, True)
+    assert bench_all.canonicalize_for_check(True, False, 8, 50) == (
+        False, 64, 50, True)
+    # already canonical: untouched
+    assert bench_all.canonicalize_for_check(True, False, 64, 50) == (
+        False, 64, 50, False)
+    # no --check: measurement runs keep whatever the user asked for
+    assert bench_all.canonicalize_for_check(False, True, 8, 10) == (
+        True, 8, 10, False)
