@@ -153,6 +153,19 @@ class TrainConfig:
                                 # qps 42.9k→44.7k (+4.1%), exact flat, ids
                                 # bitwise equal — BASELINE.md round 4.
                                 # "float32" = the losing legacy residency.
+    async_ckpt: bool = False    # periodic checkpoint saves return after
+                                # orbax's device→host snapshot and finalize
+                                # on a background thread — training
+                                # continues during the directory write
+                                # (XING-scale state: 1.27 GB, 195 s
+                                # blocking-save over the tunnel; measured
+                                # dispatch/drain split in BASELINE.md
+                                # round 4). Restore, the final save, and
+                                # the train-end step check drain first, so
+                                # semantics are unchanged; default off =
+                                # every save durable before the next step
+                                # (the reference's tf.train.Saver
+                                # behavior).
     train_dir: str = "_train"
     max_steps: int = 0          # 0 = unlimited (epoch-bounded); else hard cap
     compute_dtype: str = "bfloat16"  # matmul input dtype; params stay fp32

@@ -95,8 +95,17 @@ def _adapt_leaf(restored, target):
 
 
 class Checkpointer:
-    def __init__(self, train_dir: str, keep: int = 3):
+    def __init__(self, train_dir: str, keep: int = 3,
+                 async_save: bool = False):
+        """async_save (train.async_ckpt): save() returns after orbax's
+        blocking portion (device→host snapshot — donation-safe: the next
+        step may overwrite device buffers immediately) and the directory
+        write/finalize runs on orbax's background thread. Callers that
+        need durability (final save, anything reading latest_step for
+        decisions) call drain() first; orbax itself serializes a new
+        save against an in-flight one."""
         self.path = os.path.abspath(os.path.join(train_dir, "ckpt"))
+        self.async_save = async_save
         self.mgr = ocp.CheckpointManager(
             self.path,
             # handlers registered up front so a FRESH manager can serve
@@ -117,6 +126,12 @@ class Checkpointer:
                                         "config": config_json}),
             ),
         )
+        if not self.async_save:
+            self.mgr.wait_until_finished()
+
+    def drain(self) -> None:
+        """Block until any in-flight async save is finalized and visible
+        to latest_step()/restore()."""
         self.mgr.wait_until_finished()
 
     def latest_step(self):
@@ -129,6 +144,7 @@ class Checkpointer:
         Tolerates row-count differences from per-mesh table padding (see
         module docstring): the checkpoint is restored at its saved shapes
         and adapted to the target."""
+        self.mgr.wait_until_finished()   # an in-flight async save must win
         step = self.mgr.latest_step()
         if step is None:
             return None

@@ -316,7 +316,8 @@ class Trainer:
                 self.multi_step_fn = make_multi_step(
                     self._loss_fn(), self.opt, cfg.train.learning_rate)
 
-        self.ckpt = Checkpointer(cfg.train.train_dir)
+        self.ckpt = Checkpointer(cfg.train.train_dir,
+                                 async_save=cfg.train.async_ckpt)
         # singleton side effects (metrics JSONL / TensorBoard) live on
         # process 0 — N hosts sharing a train_dir must not race on the file
         self.metrics = MetricLogger(cfg.train.train_dir,
@@ -878,6 +879,7 @@ class Trainer:
             if stop:
                 break
         profiler.close()
+        self.ckpt.drain()   # async saves: finalize before the step check
         if steps_done and self.ckpt.latest_step() != steps_done:
             # final checkpoint: training tails shorter than
             # steps_per_checkpoint must not be lost — recommend/serving
@@ -892,6 +894,7 @@ class Trainer:
                            self._data_pos(state, prev_loss, window,
                                           best_recall),
                            self.cfg.to_json())
+            self.ckpt.drain()   # train() returns with the final ckpt durable
         # terminal metric: the periodic-eval cost knobs (eval_max_batches
         # subsample, eval_recall_target approx top-k) must not silently
         # approximate the FINAL reported recall — warn loudly and keep the

@@ -219,3 +219,45 @@ def test_abstract_like_always_has_concrete_sharding():
     for leaf in jax.tree_util.tree_leaves(
             abstract, is_leaf=lambda x: hasattr(x, "sharding")):
         assert getattr(leaf, "sharding", None) is not None
+
+
+def test_async_ckpt_parity_and_resume(tmp_path):
+    """train.async_ckpt: saves finalize on orbax's background thread but
+    drain points (restore, final save, step check) make the semantics
+    byte-identical to the synchronous default — same final params as a
+    sync twin, and an interrupted async run resumes exactly."""
+    from arec.train.loop import Trainer
+
+    def cfg(train_dir, max_steps, async_ckpt):
+        return Config(
+            data=DataConfig(syn_users=120, syn_items=90,
+                            syn_interactions=2400,
+                            data_dir=str(tmp_path / "data")),
+            model=ModelConfig(model="mf", dim=8),
+            train=TrainConfig(batch_size=32, n_epoch=2, max_steps=max_steps,
+                              steps_per_checkpoint=25,
+                              compute_dtype="float32",
+                              async_ckpt=async_ckpt,
+                              train_dir=str(train_dir)),
+        )
+
+    t_sync = Trainer(cfg(tmp_path / "sync", 60, False))
+    t_sync.train()
+    t_async = Trainer(cfg(tmp_path / "async", 60, True))
+    t_async.train()
+    for a, b in zip(jax.tree_util.tree_leaves(t_sync.state.params),
+                    jax.tree_util.tree_leaves(t_async.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the final (drained) checkpoint restores to the same step
+    t_r = Trainer(cfg(tmp_path / "async", 60, True))
+    assert int(t_r.state.step) == 60
+    # interrupted async run resumes exactly against the sync twin
+    t_a = Trainer(cfg(tmp_path / "resume_a", 50, True))
+    t_a.train()
+    t_b = Trainer(cfg(tmp_path / "resume_a", 60, True))
+    assert int(t_b.state.step) == 50
+    t_b.train()
+    for a, b in zip(jax.tree_util.tree_leaves(t_sync.state.params),
+                    jax.tree_util.tree_leaves(t_b.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
