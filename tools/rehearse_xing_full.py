@@ -244,6 +244,16 @@ def main():
                 "model.use_pallas_scan": "true",
                 "train.batch_size": "2048",
                 "train.train_dir": "_train/syn_xf_tpu_lstm"})
+    # generic config overrides: --set section.field=value (repeatable) —
+    # e.g. --set train.loss=mw --set train.batch_ht=true certifies the
+    # round-4 HT batch loss at true scale
+    ov = {}
+    for i, a in enumerate(sys.argv):
+        if a == "--set" and i + 1 < len(sys.argv):
+            k, _, v = sys.argv[i + 1].partition("=")
+            ov[k] = v
+    if ov:
+        cfg = cfg.override(ov)
     from arec.train.loop import Trainer
     ds = _prep(cfg)
     t0 = time.time()
@@ -251,6 +261,9 @@ def main():
     rec(metric="xing_full_trainer_init_s", value=round(time.time() - t0, 1),
         peak_hbm_gb=hbm_peak_gb())
     fam_tag = "lstm_sparse" if cfg.model.model == "lstm" else "sparse"
+    if cfg.train.loss != "ce":
+        fam_tag += "_" + cfg.train.loss + ("_ht" if cfg.train.batch_ht
+                                           else "")
     _bench_train(tr, fam_tag)
     if "--only-train" in sys.argv:
         print("TPU OK", flush=True)
