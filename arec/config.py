@@ -130,7 +130,10 @@ class TrainConfig:
                                 # (retrieval re-reads the item matrix once
                                 # per query chunk, so a bigger budget cuts
                                 # passes: 2048 measured +20% approx qps at
-                                # V=1.3M, exact flat — BASELINE.md round 3;
+                                # V=1.3M over f32 latents — BASELINE.md
+                                # round 3 — and +14% over the round-4
+                                # bf16-at-rest default (49.7k→56.9k,
+                                # tools/ab_eval_serve.py --score-mem);
                                 # raise it when serving HBM headroom allows)
     serve_recall_target: float = 1.0  # recommend-mode selection: 1.0 = exact
                                 # top-k; <1 = approx_max_k serving mode

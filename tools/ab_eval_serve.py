@@ -218,6 +218,45 @@ def bench_latents_dtype(windows=6):
             windows=[round(x, 1) for x in r])
 
 
+def bench_score_mem(windows=6):
+    """Re-A/B train.serve_score_mem_mb (512 default vs 2048) under the
+    round-4 bf16-at-rest latents: the round-3 '+20% at 2048' was measured
+    against f32 latents, whose per-pass read traffic was 2x — the knob's
+    value may have shifted."""
+    from arec.retrieval.mips import blocked_topk_mips
+    from arec.models.mf import mf_user_latents
+    tr = _trainer()
+    params = tr._eval_params()
+    v, b = jax.block_until_ready(tr._item_latents(params))  # bf16 default
+    QB, SW = 1024, 64
+    k = jax.random.key(5)
+    uids = jax.random.randint(jax.random.fold_in(k, 0), (QB,), 0,
+                              tr.ds.num_users, dtype=jnp.int32)
+    q = jax.block_until_ready(
+        mf_user_latents(params, tr.spec, tr.user_dev, uids))
+    seen = jax.random.randint(jax.random.fold_in(k, 1), (QB, SW), 0,
+                              v.shape[0])
+    variants = {}
+    for mem in (512, 2048):
+        fn = lambda mem=mem: blocked_topk_mips(
+            q, v, b, seen, k=30, recall_target=0.95, score_mem_mb=mem)
+        jax.block_until_ready(fn())
+        variants[mem] = fn
+    res = {m: [] for m in variants}
+    for _ in range(windows):
+        for m, fn in variants.items():
+            t0 = time.perf_counter()
+            for _ in range(3):
+                out = fn()
+            jax.block_until_ready(out)
+            res[m].append(3 * QB / (time.perf_counter() - t0))
+    for m, r in res.items():
+        r = sorted(r)
+        rec(metric="xing_full_serve_score_mem_ab_bf16latents",
+            score_mem_mb=m, qps=round(r[len(r) // 2], 1),
+            windows=[round(x, 1) for x in r])
+
+
 def main():
     if "--eval-batch" in sys.argv:
         bench_eval_batch()
@@ -227,9 +266,11 @@ def main():
         bench_latency()
     elif "--latents-dtype" in sys.argv:
         bench_latents_dtype()
+    elif "--score-mem" in sys.argv:
+        bench_score_mem()
     else:
         sys.exit("pass --eval-batch, --agreement, --latency, "
-                 "or --latents-dtype")
+                 "--latents-dtype, or --score-mem")
 
 
 if __name__ == "__main__":
