@@ -10,9 +10,13 @@
   --latency    : p50/p99 per-dispatch serving latency through the REAL
                  Recommender (restore-only startup) at serve_batch {1, 256},
                  exact and approx.
+  --latents-dtype : f32 vs compute-dtype (bf16) residency of the item
+                 matrix (train.serve_latents_dtype A/B, round 4).
+  --score-mem  : serve_score_mem_mb 512 vs 2048 under the bf16 residency.
 
 Run ONE mode per TPU process, under timeout, unbuffered (CLAUDE.md).
-Usage: python tools/ab_eval_serve.py --eval-batch|--agreement|--latency
+Usage: python tools/ab_eval_serve.py --eval-batch|--agreement|--latency|
+       --latents-dtype|--score-mem
 """
 
 from __future__ import annotations
