@@ -301,17 +301,26 @@ def bpr_loss(
 # uniform proposal, exactly the bias the round-4 WARP fix closed for the
 # sampled losses (warp_loss docstring; 2.5× recall measured). With
 # pop_probs given, draw j is weighted by the vocabulary mass it stands
-# for, w_j = 1/(n_eff·q_j) (n_eff = this row's usable-negative count),
+# for, w_ij = (1−q_t)/(n_eff·q_j) (n_eff = the row's usable-negative
+# count; the (1−q_t) factor conditions on cand≠true — _ht_weights),
 # making rank and both means unbiased for the empirical proposal; it
 # reduces to the paper's estimator when q is uniform. Default None keeps
 # the AAAI'18 paper-faithful behavior (train.batch_ht=false).
 
 
-def _ht_weights(cand_ids, same, pop_probs):
-    """[b, B] HT weights: vocabulary mass each usable draw stands for."""
+def _ht_weights(cand_ids, same, true_ids, pop_probs):
+    """[b, B] HT weights: vocabulary mass each usable draw stands for.
+
+    Draws come from q over the FULL vocab, but a row only uses draws with
+    cand_id != true_id (the `same` mask), so the usable draws follow the
+    CONDITIONAL proposal q_j / (1 − q_t) — the importance weight for
+    estimating a sum over V \\ {t} is therefore (1 − q_t) / (n_eff·q_j),
+    not 1 / (n_eff·q_j) (the unconditioned form over-estimated by ~q_t on
+    rows whose own positive is popular — round-5 exactness fix)."""
     q = jnp.maximum(pop_probs[cand_ids], 1e-12)                    # [B]
+    q_t = pop_probs[true_ids][:, None]                             # [b, 1]
     n_eff = jnp.maximum((~same).sum(axis=1, keepdims=True), 1)     # [b, 1]
-    return jnp.where(same, 0.0, 1.0 / (n_eff * q[None, :]))
+    return jnp.where(same, 0.0, (1.0 - q_t) / (n_eff * q[None, :]))
 
 
 def _batch_scores(query, true_ids, embed, compute_dtype, gather_cands):
@@ -348,7 +357,7 @@ def batch_mw_loss(
         rank = (vocab - 1) * m / jnp.maximum(cand_ids.shape[0] - 1, 1)
         mean_hinge = hinge.sum(axis=1) / jnp.maximum(m, 1.0)
     else:
-        w = _ht_weights(cand_ids, same, pop_probs)
+        w = _ht_weights(cand_ids, same, true_ids, pop_probs)
         wm = (w * (hinge > 0)).sum(axis=1)                         # ~rank
         rank = jnp.minimum(wm, vocab - 1.0)
         mean_hinge = (w * hinge).sum(axis=1) / jnp.maximum(wm, 1e-6)
@@ -370,6 +379,6 @@ def batch_bpr_loss(
     if pop_probs is None:
         denom = jnp.maximum((~same).sum(axis=1).astype(jnp.float32), 1.0)
         return -(ll.sum(axis=1) / denom).mean()
-    w = _ht_weights(cand_ids, same, pop_probs)
+    w = _ht_weights(cand_ids, same, true_ids, pop_probs)
     return -((w * ll).sum(axis=1)
              / jnp.maximum(w.sum(axis=1), 1e-12)).mean()
