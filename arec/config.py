@@ -85,6 +85,19 @@ class TrainConfig:
     optimizer: str = "adagrad"  # {adagrad, sgd, adam}
     n_epoch: int = 10
     steps_per_checkpoint: int = 200
+    save_every_evals: int = 1   # save a checkpoint on every Nth periodic
+                                # eval event (steps_per_checkpoint sets the
+                                # EVAL cadence; the reference coupled eval
+                                # and save — tf.train.Saver every
+                                # --steps_per_checkpoint). >1 decouples
+                                # them: at XING scale one save costs
+                                # 90–200 s over the tunnel (BASELINE.md
+                                # round 4) while one approx eval costs
+                                # ~10 s, so dense Recall curves need not
+                                # pay a save per point. The final
+                                # checkpoint is always written; resume
+                                # simply restarts from the last SAVED
+                                # eval point (exact, as before).
     loss: str = "ce"            # {ce, warp, bpr, mw, bbpr}; lstm: {ce, mce}
     num_sampled: int = 256      # negatives per step (shared across batch)
     sampler: str = "log_uniform"  # {log_uniform, uniform, pop} negative
@@ -196,6 +209,19 @@ class TrainConfig:
                                 # host→device launch latency; step-for-step
                                 # identical to K=1 (same per-step rng/order).
                                 # steps_per_checkpoint must be a multiple.
+
+    def __post_init__(self):
+        # fail-loud on enum typos that would otherwise silently select a
+        # legacy/losing path (e.g. serve_latents_dtype="bf16" falling
+        # through to the float32 residency — advisor round 4)
+        if self.serve_latents_dtype not in ("compute", "float32"):
+            raise ValueError(
+                f"train.serve_latents_dtype must be 'compute' or 'float32', "
+                f"got {self.serve_latents_dtype!r}")
+        if self.act_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"train.act_dtype must be 'float32' or 'bfloat16', "
+                f"got {self.act_dtype!r}")
 
 
 @dataclass(frozen=True)

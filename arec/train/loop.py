@@ -206,6 +206,15 @@ class Trainer:
         # state). batch_ht with mw/bbpr needs the α=1 empirical
         # distribution — the in-batch proposal IS the interaction
         # distribution, so sampler_power does not apply there.
+        if cfg.train.batch_ht and cfg.train.loss not in ("mw", "bbpr"):
+            # fail-loud: the flag only corrects the in-batch losses'
+            # proposal — on any other model/loss combination it would be
+            # silently ignored (advisor round 4); consistent with the
+            # unknown-combo ValueError in mf_loss/sparse factory
+            raise ValueError(
+                "train.batch_ht only applies to the in-batch losses "
+                f"(loss=mw|bbpr); got model={cfg.model.model!r} "
+                f"loss={cfg.train.loss!r}")
         if cfg.train.batch_ht and cfg.train.loss in ("mw", "bbpr"):
             from arec.losses.sampling import make_pop
             self.pop = make_pop(self.ds.item_freq, 1.0)
@@ -756,6 +765,19 @@ class Trainer:
                   f"(epoch {self.start_epoch}"
                   f"+{self.start_step_in_epoch} steps)", flush=True)
 
+    def restore_latest(self) -> None:
+        """Re-restore the latest checkpoint into the current state slots —
+        the serving refresh path (arec.serve.Recommender.refresh). The
+        concrete state is replaced by its abstract (ShapeDtypeStruct) twin
+        BEFORE the restore so the old device arrays are freed first: at
+        XING scale the packed tables are ~2.9 GB and a hold-both swap
+        would double the serving process's residency (the measured
+        4-instance OOM margin — BASELINE.md round 4). Caller must have
+        verified a checkpoint exists (ckpt.latest_step() is not None)."""
+        self.state = abstract_like(
+            self.state, self.state_sh if self.use_mesh else None)
+        self._maybe_restore()
+
     def train(self) -> dict:
         """Epoch loop with periodic checkpoint + eval + plateau LR decay
         (SURVEY.md §3.1). Returns the final metrics summary.
@@ -785,10 +807,13 @@ class Trainer:
         K = self.dispatch_k
         state = {"step_in_epoch": 0, "epoch": self.start_epoch}
 
+        eval_events = 0
+
         def after_step(loss, lr):
             """Counters + periodic checkpoint/eval/plateau-decay
             (SURVEY.md §3.1). Returns True when max_steps is reached."""
             nonlocal steps_done, ex_since, t_since, best_recall, prev_loss
+            nonlocal eval_events
             window.append(loss)
             ex_since += t.batch_size
             steps_done += 1
@@ -817,10 +842,16 @@ class Trainer:
                 prev_loss = mean_loss
                 window.clear()
                 ex_since, t_since = 0, time.time()
-                self.ckpt.save(steps_done, self._canonical_state(self.state),
-                               self._data_pos(state, prev_loss, window,
-                                              best_recall),
-                               self.cfg.to_json())
+                eval_events += 1
+                # steps_per_checkpoint is the EVAL cadence; saves ride every
+                # Nth eval event (train.save_every_evals — the final
+                # checkpoint after the loop is always written)
+                if eval_events % max(t.save_every_evals, 1) == 0:
+                    self.ckpt.save(steps_done,
+                                   self._canonical_state(self.state),
+                                   self._data_pos(state, prev_loss, window,
+                                                  best_recall),
+                                   self.cfg.to_json())
             return bool(t.max_steps and steps_done >= t.max_steps)
 
         for epoch in range(self.start_epoch, t.n_epoch):

@@ -68,6 +68,65 @@ def test_config_override_bool():
     assert out.model.use_attributes is False
 
 
+def test_config_rejects_enum_typos():
+    """serve_latents_dtype / act_dtype typos must fail at construction,
+    not silently select a legacy path (advisor round 4)."""
+    import pytest
+    with pytest.raises(ValueError, match="serve_latents_dtype"):
+        TrainConfig(serve_latents_dtype="bf16")
+    with pytest.raises(ValueError, match="serve_latents_dtype"):
+        Config().override({"train.serve_latents_dtype": "Compute"})
+    with pytest.raises(ValueError, match="act_dtype"):
+        TrainConfig(act_dtype="fp32")
+
+
+def test_batch_ht_rejected_on_inapplicable_loss(tmp_path):
+    """train.batch_ht only corrects the in-batch losses; on any other
+    model/loss combination the Trainer must raise instead of silently
+    ignoring the flag (advisor round 4)."""
+    import pytest
+
+    from arec.train.loop import Trainer
+    cfg = Config(
+        data=DataConfig(dataset="synthetic", data_dir=str(tmp_path / "d"),
+                        syn_users=200, syn_items=150, syn_interactions=4000),
+        model=ModelConfig(model="lstm", dim=16, use_attributes=False,
+                          max_seq_len=8, use_pallas_scan=False),
+        train=TrainConfig(batch_size=32, num_sampled=16, batch_ht=True,
+                          loss="ce", train_dir=str(tmp_path / "t")),
+    )
+    with pytest.raises(ValueError, match="batch_ht"):
+        Trainer(cfg)
+
+
+def test_save_every_evals_decouples_save_cadence(tmp_path):
+    """steps_per_checkpoint is the EVAL cadence; train.save_every_evals>1
+    saves only every Nth eval event plus the final checkpoint (round 5 —
+    at XING scale a save costs 90-200 s over the tunnel, an approx eval
+    ~10 s, so dense recall curves must not pay a save per point)."""
+    import json
+    import os
+
+    from arec.train.loop import Trainer
+    cfg = Config(
+        data=DataConfig(dataset="synthetic", data_dir=str(tmp_path / "d"),
+                        syn_users=200, syn_items=150, syn_interactions=4000),
+        model=ModelConfig(model="mf", dim=16, use_attributes=False),
+        train=TrainConfig(batch_size=32, num_sampled=16, n_epoch=1,
+                          max_steps=50, steps_per_checkpoint=10,
+                          save_every_evals=3,
+                          train_dir=str(tmp_path / "t")),
+    )
+    Trainer(cfg).train()
+    saved = sorted(int(d) for d in os.listdir(tmp_path / "t" / "ckpt")
+                   if d.isdigit())
+    assert saved == [30, 50]     # every 3rd eval (step 30) + final (50)
+    evals = [json.loads(line)["step"]
+             for line in open(tmp_path / "t" / "metrics.jsonl")
+             if "recall_at_k" in json.loads(line)]
+    assert evals[:5] == [10, 20, 30, 40, 50]   # eval cadence unchanged
+
+
 def test_cli_parse_and_load(tmp_path):
     p = tmp_path / "c.json"
     p.write_text(Config().to_json())
