@@ -97,6 +97,48 @@ class Recommender:
             v, b = pad_item_shards(v, b, cfg.mesh.model)
         self._vb = (v, b)
         self._step = t._serve_step(self.k)
+        # checkpoint labels are the global step count (Checkpointer.save
+        # is called with steps_done == state.step), so the restored
+        # state's step IS the label refresh() compares against
+        self._restored_step = int(t.state.step)
+
+    def refresh(self) -> bool:
+        """Pick up the newest checkpoint IN PLACE: re-restore, re-encode
+        the item latent matrix, and swap — reusing every jit entry
+        (identical shapes → no recompile) and the existing buffers, so a
+        serving process can follow training without being rebuilt
+        (rebuild measured ~41 s trainer init + encode at XING scale, plus
+        a transient second multi-GB residency). The old device state is
+        dropped BEFORE the restore (Trainer.restore_latest), so peak
+        residency never doubles.
+
+        Returns True when a newer checkpoint was loaded, False when the
+        latest checkpoint is the one already being served. NOT safe to
+        call concurrently with for_users/from_histories from another
+        thread: requests issued mid-refresh would race the swap — pause
+        or queue them for the refresh duration.
+        """
+        t = self._trainer
+        t.ckpt.drain()
+        t.ckpt.reload()   # steps written by the TRAINING process are not
+        latest = t.ckpt.latest_step()   # in this manager's cached list
+        if latest is None:
+            raise FileNotFoundError(
+                f"no checkpoint under {self.cfg.train.train_dir!r}")
+        if latest == self._restored_step:
+            return False
+        # drop the old latents/params first (they alias state tables or,
+        # on the sparse path, are unpacked copies of them)
+        self._params = None
+        self._vb = None
+        t.restore_latest()
+        self._params = t._eval_params()
+        v, b = t._item_latents(self._params)
+        if t.use_mesh:
+            v, b = pad_item_shards(v, b, self.cfg.mesh.model)
+        self._vb = (v, b)
+        self._restored_step = int(t.state.step)
+        return True
 
     # ------------------------------------------------------------------
     def _run(self, batches):

@@ -137,6 +137,12 @@ class Checkpointer:
     def latest_step(self):
         return self.mgr.latest_step()
 
+    def reload(self):
+        """Re-scan the directory for steps written by ANOTHER process or
+        manager (orbax caches its step list at construction) — the serving
+        refresh path polls through this."""
+        self.mgr.reload()
+
     def restore(self, abstract_state: TrainState):
         """abstract_state: jax.eval_shape-style target (with shardings) for
         resharded restore. Returns (state, data_pos, config_json) or None.

@@ -158,6 +158,40 @@ def test_lstm_long_history_segments(tmp_path):
     assert np.array_equal(out, out2)                 # deterministic
 
 
+@pytest.mark.parametrize("sparse", [False, True])
+def test_refresh_follows_training(tmp_path, sparse):
+    """refresh() (round 5): a standing Recommender picks up the newest
+    checkpoint in place — outputs must match a FRESHLY BUILT Recommender
+    on the new checkpoint, the serving jit entry must be reused (no
+    recompile), and refresh with no newer checkpoint is a no-op returning
+    False. Covers the dense and the sparse-packed (unpack-on-restore)
+    state layouts."""
+    from dataclasses import replace
+    cfg = _cfg(tmp_path, "mf")
+    cfg = replace(cfg, train=replace(cfg.train, sparse_update=sparse,
+                                     train_dir=str(tmp_path / f"r{sparse}")))
+    Trainer(cfg).train()
+    rec = Recommender(cfg, serve_batch=16)
+    users = list(range(0, 40, 2))
+    seen = _seen_lists(rec._trainer.ds, users)
+    rec.for_users(users, seen=seen)          # warm the serve jit
+    assert rec.refresh() is False            # latest ckpt already served
+
+    # train on (fresh Trainer restores + resumes to epoch 2)
+    cfg2 = replace(cfg, train=replace(cfg.train, n_epoch=2))
+    tr2 = Trainer(cfg2)
+    tr2.train()
+    final_step = int(tr2.state.step)
+
+    step_fn_before = rec._step
+    assert rec.refresh() is True
+    assert rec._restored_step == final_step
+    assert rec._step is step_fn_before       # jit entry reused, no rebuild
+    after = rec.for_users(users, seen=seen)
+    fresh = Recommender(cfg, serve_batch=16).for_users(users, seen=seen)
+    assert (after == fresh).all()
+
+
 def test_serve_latents_dtype_parity(tmp_path):
     """serve_latents_dtype="compute" (bf16-at-rest item matrix, the
     measured round-4 default) must serve BIT-IDENTICAL ids to the legacy
