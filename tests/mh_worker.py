@@ -43,6 +43,7 @@ def build_cfg(args, max_steps):
                           steps_per_checkpoint=6,
                           steps_per_dispatch=args.dispatch_k,
                           sparse_update=bool(args.sparse),
+                          async_ckpt=bool(args.async_ckpt),
                           compute_dtype="float32",
                           train_dir=args.train_dir),
         mesh=MeshConfig(data=2, model=4, lookup="alltoall",
@@ -61,6 +62,7 @@ def main():
     ap.add_argument("--dispatch-k", type=int, default=1)
     ap.add_argument("--row-shard", default="contiguous")
     ap.add_argument("--sparse", type=int, default=0)
+    ap.add_argument("--async-ckpt", type=int, default=0)
     args = ap.parse_args()
 
     import numpy as np

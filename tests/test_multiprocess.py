@@ -88,18 +88,23 @@ def _single_cfg(tmp_path, max_steps, dispatch_k=1, row_shard="contiguous",
     )
 
 
-@pytest.mark.parametrize("dispatch_k,row_shard,sparse",
-                         [(1, "contiguous", 0), (3, "shuffle", 0),
-                          (2, "shuffle", 1)])
+@pytest.mark.parametrize("dispatch_k,row_shard,sparse,async_ckpt",
+                         [(1, "contiguous", 0, 0), (3, "shuffle", 0, 0),
+                          (2, "shuffle", 1, 0), (1, "shuffle", 0, 1)])
 def test_two_process_run_matches_single_process(tmp_path, dispatch_k,
-                                                row_shard, sparse):
+                                                row_shard, sparse,
+                                                async_ckpt):
     """2-process (2,4) mesh == single-process (2,4) mesh on 8 local
     devices: final params allclose, recall equal, recommend lists present.
     Covers: jax.distributed bring-up, make_array_from_process_local_data
     batch bridge (single-step AND K-stacked dispatch), host-sharded eval,
     collective checkpoint save + mid-run restore, row_shard=shuffle's
-    permuted layout under multi-process, and the sparse-mesh
-    (touched-rows exchange) step at process_count() > 1."""
+    permuted layout under multi-process, the sparse-mesh (touched-rows
+    exchange) step at process_count() > 1, and — round 5 —
+    train.async_ckpt at process_count() > 1: COLLECTIVE async saves
+    mid-run, drain points at restore/final-save, then a fresh-Trainer
+    restore whose result must be parity-equal to the SYNC single-process
+    twin (closes BASELINE.md's "validated sync only" caveat)."""
     from arec.data.io import load_or_prepare
     from arec.train.loop import Trainer
 
@@ -110,7 +115,8 @@ def test_two_process_run_matches_single_process(tmp_path, dispatch_k,
         tmp_path, extra=["--steps1", "12", "--steps2", "18",
                          "--dispatch-k", str(dispatch_k),
                          "--row-shard", row_shard,
-                         "--sparse", str(sparse)])
+                         "--sparse", str(sparse),
+                         "--async-ckpt", str(async_ckpt)])
 
     # single-process twin: same GLOBAL batches, straight to 18 steps
     tr = Trainer(_single_cfg(tmp_path, 18, dispatch_k, row_shard, sparse))
