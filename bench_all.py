@@ -11,7 +11,7 @@ appends a JSON record per metric to BASELINE_RUNS.jsonl:
 bench.py stays the driver's one-line entry; this is the full harness.
 Usage: python bench_all.py [--quick] [--only SECTION[,SECTION]] [--check]
 Sections: mf, lstm, mf_bigvocab, lstm_bigvocab, retrieval,
-retrieval_bigvocab.
+retrieval_bigvocab, serve.
 (--only exists because tunnel compiles are slow — a full run can exceed a
 10-minute window; split sections across invocations.)
 
@@ -64,7 +64,7 @@ def _parse_flags(argv):
                    help="10 timing iterations instead of 50")
     p.add_argument("--only", type=str, default=None, metavar="SECTIONS",
                    help="comma-separated subset: mf,lstm,mf_bigvocab,"
-                        "lstm_bigvocab,retrieval,retrieval_bigvocab")
+                        "lstm_bigvocab,retrieval,retrieval_bigvocab,serve")
     p.add_argument("--kdisp", type=int, default=KDISP, metavar="N",
                    help=f"optimizer steps per dispatch (default {KDISP})")
     p.add_argument("--check", action="store_true",
@@ -524,6 +524,68 @@ def bench_retrieval_bigvocab(out):
                 **roofline_fields(tk, (), dt / ITERS))
 
 
+def bench_serve(out, nu=200_000, ni=300_000, n_inter=2_000_000,
+                mulhot_degree=12, serve_batch=1024, iters=None,
+                train_dir="_train/bench_serve", data_dir="_data"):
+    """REAL serving-path gate (VERDICT r4 weak #3): a `Recommender` built
+    from a cached big-vocab checkpoint, measured through `for_users` in
+    the approx-0.95 throughput-serving mode. Unlike the retrieval
+    sections (which call blocked_topk_mips on raw arrays), this exercises
+    the whole serving chain — serve-only restore, serve_latents_dtype
+    latent precompute, host-side request/seen padding, the serve jit
+    cache — so a regression anywhere in arec/serve.py or the
+    restore→encode path fails the gate, not just a kernel regression.
+
+    The checkpoint is built ONCE (8 sparse train steps at U=200k/V=300k,
+    attr-aware — quality is irrelevant to a throughput gate) and cached
+    under `train_dir`; later runs restore it. Size params exist so tests
+    can smoke this section tiny on CPU."""
+    from arec.config import Config, DataConfig, ModelConfig, TrainConfig
+    from arec.serve import Recommender
+    from arec.train.checkpoint import Checkpointer
+    from arec.train.loop import Trainer
+
+    iters = ITERS if iters is None else iters
+    cfg = Config(
+        data=DataConfig(dataset="synthetic", data_dir=data_dir,
+                        syn_users=nu, syn_items=ni,
+                        syn_interactions=n_inter,
+                        syn_mulhot_degree=mulhot_degree,
+                        syn_tag_vocab=4096 if mulhot_degree else 0),
+        model=ModelConfig(model="mf", dim=64, use_attributes=True),
+        train=TrainConfig(batch_size=min(8192, max(64, n_inter // 16)),
+                          num_sampled=1024, n_epoch=1, max_steps=8,
+                          steps_per_checkpoint=8, sparse_update=True,
+                          serve_recall_target=0.95,
+                          train_dir=train_dir),
+    )
+    if Checkpointer(train_dir).latest_step() is None:
+        Trainer(cfg).train()        # one-time checkpoint build (cached)
+    rec = Recommender(cfg, serve_batch=serve_batch, seen_width=64)
+    ds = rec._trainer.ds
+    rng = np.random.default_rng(7)
+    blocks = []
+    for _ in range(4):
+        users = rng.integers(0, nu, serve_batch).astype(np.int32)
+        seen = [[int(x) for x in row if x >= 0]
+                for row in ds.seen_items[users][:, :64]]
+        blocks.append((users, seen))
+    rec.for_users(*blocks[0])                    # warm the serve jit
+    per, times = max(1, iters // 5), []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for i in range(per):
+            rec.for_users(*blocks[i % len(blocks)])   # returns host ids →
+        times.append(time.perf_counter() - t0)        # naturally synced
+    dt = sorted(times)[2] * iters / per
+    _record(out, metric="serve_approx95_qps",
+            value=round(serve_batch * iters / dt, 1), unit="queries/s",
+            config=f"Recommender.for_users U={nu} V={ni} dim64 "
+                   f"batch{serve_batch} seen64 approx0.95 "
+                   f"latents={cfg.train.serve_latents_dtype}")
+    return rec
+
+
 def check_floors(out: list[dict], floors_path: str = "BENCH_FLOORS.json",
                  slack: float = 0.8,
                  ratio_floors_path: str = "BENCH_RATIO_FLOORS.json",
@@ -612,6 +674,8 @@ def main():
         _with_ref(out, bench_retrieval, ds, mf_result)
     if want("retrieval_bigvocab"):
         _with_ref(out, bench_retrieval_bigvocab)
+    if want("serve"):
+        _with_ref(out, bench_serve)
 
     with open("BASELINE_RUNS.jsonl", "a") as f:
         for rec in out:

@@ -55,6 +55,51 @@ def test_bigvocab_sections_run_tiny(bench_all):
     assert all(r["value"] > 0 for r in out)
 
 
+def test_serve_section_runs_tiny(bench_all, tmp_path):
+    """The round-5 serve section: builds+caches a checkpoint, restores a
+    Recommender, measures for_users qps. Smoke tiny on CPU — then a
+    SECOND call must reuse the cached checkpoint (no retraining)."""
+    import os
+    out = []
+    kw = dict(nu=300, ni=250, n_inter=6000, mulhot_degree=0,
+              serve_batch=16, iters=2,
+              train_dir=str(tmp_path / "t"), data_dir=str(tmp_path / "d"))
+    bench_all.bench_serve(out, **kw)
+    assert out[0]["metric"] == "serve_approx95_qps"
+    assert out[0]["value"] > 0
+    ckpts = set(os.listdir(tmp_path / "t" / "ckpt"))
+    bench_all.bench_serve(out, **kw)          # cached: restore only
+    assert set(os.listdir(tmp_path / "t" / "ckpt")) == ckpts
+    assert out[1]["value"] > 0
+
+
+def test_check_floors_gates_serve_metric(bench_all, tmp_path):
+    """An injected serve-path regression must fail `--check` through both
+    gates (VERDICT r4 task 4 'done' criterion)."""
+    import json
+    fp = tmp_path / "floors.json"
+    rfp = tmp_path / "ratio_floors.json"
+    fp.write_text(json.dumps(
+        {"serve_approx95_qps": {"floor": 15000.0, "best": 45000.0}}))
+    rfp.write_text(json.dumps({"serve_approx95_qps": {"floor": 100.0}}))
+    ok = [{"metric": "serve_approx95_qps", "value": 40000.0,
+           "ref_rate": 400.0, "ratio": 100.0}]
+    assert bench_all.check_floors(ok, str(fp),
+                                  ratio_floors_path=str(rfp)) == []
+    # padding/jit-cache regression in calm weather: absolute gate still
+    # passes (14k > 0.8·15k fails actually) — use 16k to isolate the ratio
+    reg = [{"metric": "serve_approx95_qps", "value": 16000.0,
+            "ref_rate": 400.0, "ratio": 40.0}]
+    fails = bench_all.check_floors(reg, str(fp),
+                                   ratio_floors_path=str(rfp))
+    assert len(fails) == 1 and "ratio" in fails[0]
+    # absolute cliff fails the absolute gate too
+    cliff = [{"metric": "serve_approx95_qps", "value": 4000.0,
+              "ref_rate": 400.0, "ratio": 10.0}]
+    assert len(bench_all.check_floors(cliff, str(fp),
+                                      ratio_floors_path=str(rfp))) == 2
+
+
 def test_check_floors_gate(bench_all, tmp_path):
     """bench_all --check semantics: >20% below floor fails, within passes,
     unknown metrics are ignored, missing floors file reports itself."""
@@ -105,6 +150,34 @@ def test_check_floors_ratio_gate(bench_all, tmp_path):
     plain = [{"metric": "m", "value": 300.0}]
     assert bench_all.check_floors(plain, str(fp),
                                   ratio_floors_path=str(rfp)) == []
+
+
+def test_update_ratio_floors_provenance():
+    """tools/update_ratio_floors.py (round 5): floors accumulate canonical
+    history — monotone floor by default, --reset re-records, spread > 1.25
+    is flagged as ref-workload decorrelation."""
+    import sys
+    sys.path.insert(0, "tools")
+    from update_ratio_floors import build_floors
+
+    history = {"m": [3.0, 3.2, 2.5], "fresh": [7.0]}
+    old = {"_note": "x", "m": {"floor": 3.5, "n_runs": 3},
+           "legacy_only": {"floor": 9.0, "n_runs": 2}}
+    floors, flagged = build_floors(history, old)
+    assert floors["m"]["floor"] == 3.5          # never lowered by default
+    assert floors["m"]["n_runs"] == 3
+    assert floors["m"]["ratio_min"] == 2.5
+    assert floors["m"]["ratio_max"] == 3.2
+    assert floors["m"]["spread"] == round(3.2 / 2.5, 3)
+    assert "m" in flagged                        # 1.28 > 1.25 decorrelation
+    assert floors["fresh"]["floor"] == 7.0       # new metric adopts best
+    assert floors["legacy_only"]["floor"] == 9.0  # kept without history
+    # --reset re-records from observed history only
+    reset, _ = build_floors(history, old, reset=True)
+    assert reset["m"]["floor"] == 3.2
+    # a higher observed ratio TIGHTENS the floor without --reset
+    tighter, _ = build_floors({"m": [4.0]}, old)
+    assert tighter["m"]["floor"] == 4.0
 
 
 def test_check_forces_canonical_invocation_shape():
