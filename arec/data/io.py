@@ -54,7 +54,20 @@ def save_prepared(ds: PreparedDataset, path: str) -> None:
             arrays[f"attr_{side}_v_{name}"] = v
         for name, v in attrs.lengths.items():
             arrays[f"attr_{side}_l_{name}"] = v
-    np.savez_compressed(path, __meta__=json.dumps(meta), **arrays)
+    # atomic publish: concurrent processes sharing a data_dir may prepare
+    # the same uncached config simultaneously (observed: a reader hit a
+    # half-written zip and died with BadZipFile). Each writer streams to
+    # its own temp file and os.replace()-renames into place — readers see
+    # either no file (and prepare themselves) or a complete one; prep is
+    # deterministic, so last-rename-wins is harmless.
+    tmp = f"{path}.{os.getpid()}.tmp.npz"   # keep the .npz suffix:
+    # np.savez appends one to any other extension, orphaning the temp
+    try:
+        np.savez_compressed(tmp, __meta__=json.dumps(meta), **arrays)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
 
 
 def load_prepared(path: str) -> PreparedDataset:
