@@ -192,6 +192,30 @@ def test_refresh_follows_training(tmp_path, sparse):
     assert (after == fresh).all()
 
 
+def test_refresh_on_mesh(tmp_path):
+    """refresh() through the sharded restore path: abstract re-targeting
+    must keep the mesh state shardings (restore_latest → _maybe_restore →
+    tree_put_replicated) and the sharded serve step must be reused."""
+    from dataclasses import replace
+
+    from arec.config import MeshConfig
+    cfg = _cfg(tmp_path, "mf")
+    cfg = Config(data=cfg.data, model=cfg.model, train=cfg.train,
+                 mesh=MeshConfig(data=2, model=4, lookup="alltoall"))
+    Trainer(cfg).train()
+    rec = Recommender(cfg, serve_batch=16)
+    users = list(range(0, 32, 2))
+    seen = _seen_lists(rec._trainer.ds, users)
+    rec.for_users(users, seen=seen)
+    cfg2 = Config(data=cfg.data, model=cfg.model,
+                  train=replace(cfg.train, n_epoch=2), mesh=cfg.mesh)
+    Trainer(cfg2).train()
+    assert rec.refresh() is True
+    after = rec.for_users(users, seen=seen)
+    fresh = Recommender(cfg, serve_batch=16).for_users(users, seen=seen)
+    assert (after == fresh).all()
+
+
 def test_serve_latents_dtype_parity(tmp_path):
     """serve_latents_dtype="compute" (bf16-at-rest item matrix, the
     measured round-4 default) must serve BIT-IDENTICAL ids to the legacy
