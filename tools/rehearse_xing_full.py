@@ -215,6 +215,15 @@ def main():
         cfg = cfg.override({"train.train_dir": "_train/syn_xf_cpu",
                             "train.steps_per_dispatch": "1",
                             "train.batch_size": "1024"})
+        # --set works here too (e.g. --set model.model=lstm executes the
+        # c4 family's sparse-mesh step at full cardinality on the CPU mesh)
+        ov = {}
+        for i, a in enumerate(sys.argv):
+            if a == "--set" and i + 1 < len(sys.argv):
+                k, _, v = sys.argv[i + 1].partition("=")
+                ov[k] = v
+        if ov:
+            cfg = cfg.override(ov)
         from arec.train.loop import Trainer
         _prep(cfg)
         t0 = time.time()
