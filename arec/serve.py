@@ -133,11 +133,22 @@ class Recommender:
         # on the sparse path, are unpacked copies of them)
         self._params = None
         self._vb = None
-        t.restore_latest()
-        self._params = t._eval_params()
-        v, b = t._item_latents(self._params)
-        if t.use_mesh:
-            v, b = pad_item_shards(v, b, self.cfg.mesh.model)
+        try:
+            t.restore_latest()
+            self._params = t._eval_params()
+            v, b = t._item_latents(self._params)
+            if t.use_mesh:
+                v, b = pad_item_shards(v, b, self.cfg.mesh.model)
+        except Exception as e:
+            # the old state was freed before the restore (the no-doubled-
+            # residency contract), so a failed refresh cannot roll back —
+            # fail with a clear diagnosis instead of a later shape/None
+            # crash inside for_users
+            raise RuntimeError(
+                "Recommender.refresh failed mid-restore; this instance no "
+                "longer holds a servable state — rebuild it (the previous "
+                "state is freed before restoring to avoid doubling "
+                "residency)") from e
         self._vb = (v, b)
         self._restored_step = int(t.state.step)
         return True
