@@ -243,3 +243,80 @@ class Recommender:
                     batch["user"] = u
                 yield batch, n
         return self._run(gen())
+
+
+# ---------------------------------------------------------------------------
+# Standing-server CLI: `python -m arec.serve --config cfg.json [--set ...]`
+#
+# A line-oriented request loop over stdin/stdout (round 5) — the
+# operational completion of the serving story: a process you START, feed
+# requests to, and point at a train_dir it FOLLOWS via refresh(), instead
+# of an object you import. Line protocol (tab-separated, one request per
+# line, answer echoed with the same first field):
+#
+#   MF family:        <user_id>[\t<seen_id,seen_id,...>]
+#   sequence family:  <hist_id,hist_id,...>   (history = exclusion list)
+#   commands:         !refresh   — pick up the newest checkpoint in place
+#                     !step      — print the served checkpoint step
+#                     !quit      — exit 0
+#
+# Responses: `<first_field>\t<id,id,...>` (top-k); command responses are
+# `!ok ...`. Unparseable lines answer `!err <reason>` and the loop
+# continues — a bad request must not kill a standing server.
+# ---------------------------------------------------------------------------
+
+
+def _serve_loop(rec: Recommender, inp, out) -> int:
+    for line in inp:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            if line == "!quit":
+                return 0
+            if line == "!step":
+                print(f"!ok step {rec._restored_step}", file=out, flush=True)
+            elif line == "!refresh":
+                changed = rec.refresh()
+                print(f"!ok {'refreshed' if changed else 'current'} "
+                      f"step {rec._restored_step}", file=out, flush=True)
+            elif rec.is_seq:
+                first = line.split("\t")[0]
+                hist = [int(x) for x in first.split(",") if x]
+                ids = rec.from_histories([hist])
+                print(f"{first}\t{','.join(map(str, ids[0].tolist()))}",
+                      file=out, flush=True)
+            else:
+                parts = line.split("\t")
+                uid = int(parts[0])
+                seen = ([[int(x) for x in parts[1].split(",") if x]]
+                        if len(parts) > 1 and parts[1] else None)
+                ids = rec.for_users([uid], seen=seen)
+                print(f"{uid}\t{','.join(map(str, ids[0].tolist()))}",
+                      file=out, flush=True)
+        except Exception as e:  # keep serving after a bad request
+            print(f"!err {type(e).__name__}: {e}", file=out, flush=True)
+    return 0
+
+
+def main(argv=None, inp=None, out=None) -> int:
+    import sys
+
+    from arec.cli.main import load_config, parse_args
+    from arec.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    args = parse_args(argv)
+    cfg = load_config(args)
+    rec = Recommender(cfg)
+    print(f"!ok serving {cfg.train.train_dir} step {rec._restored_step} "
+          f"({'histories' if rec.is_seq else 'user ids'} on stdin; "
+          f"!refresh / !step / !quit)",
+          file=out or sys.stdout, flush=True)
+    return _serve_loop(rec, inp or sys.stdin, out or sys.stdout)
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

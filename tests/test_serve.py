@@ -216,6 +216,54 @@ def test_refresh_on_mesh(tmp_path):
     assert (after == fresh).all()
 
 
+def test_serve_cli_loop(tmp_path):
+    """`python -m arec.serve` line protocol (round 5): responses must
+    match direct API calls, commands work, bad lines answer !err without
+    killing the loop, !quit ends it, and main() boots from a config file."""
+    import io
+
+    import arec.serve as serve_mod
+
+    cfg = _cfg(tmp_path, "mf")
+    Trainer(cfg).train()
+    rec = Recommender(cfg)
+    inp = io.StringIO("3\n5\t7,9\n!step\nbogus line\n!refresh\n!quit\n99\n")
+    out = io.StringIO()
+    assert serve_mod._serve_loop(rec, inp, out) == 0
+    lines = out.getvalue().strip().split("\n")
+    assert lines[0] == "3\t" + ",".join(
+        map(str, rec.for_users([3])[0].tolist()))
+    assert lines[1] == "5\t" + ",".join(
+        map(str, rec.for_users([5], seen=[[7, 9]])[0].tolist()))
+    assert 7 not in [int(x) for x in lines[1].split("\t")[1].split(",")]
+    assert lines[2] == f"!ok step {rec._restored_step}"
+    assert lines[3].startswith("!err")
+    assert lines[4] == f"!ok current step {rec._restored_step}"
+    assert len(lines) == 5                     # nothing served after !quit
+
+    # sequence family: a history line is both input and exclusion list
+    cfg2 = _cfg(tmp_path, "lstm")
+    Trainer(cfg2).train()
+    rec2 = Recommender(cfg2)
+    out2 = io.StringIO()
+    assert serve_mod._serve_loop(rec2, io.StringIO("4,8,15\n"), out2) == 0
+    got = out2.getvalue().strip()
+    want = rec2.from_histories([[4, 8, 15]])[0].tolist()
+    assert got == "4,8,15\t" + ",".join(map(str, want))
+    assert not {4, 8, 15} & {int(x) for x in got.split("\t")[1].split(",")}
+
+    # main(): boots from a config file, greets, serves, quits
+    cfile = tmp_path / "serve_cfg.json"
+    cfile.write_text(cfg.to_json())
+    out3 = io.StringIO()
+    rc = serve_mod.main(["--config", str(cfile)],
+                        inp=io.StringIO("3\n!quit\n"), out=out3)
+    assert rc == 0
+    l3 = out3.getvalue().strip().split("\n")
+    assert l3[0].startswith("!ok serving")
+    assert l3[1] == lines[0]
+
+
 def test_serve_latents_dtype_parity(tmp_path):
     """serve_latents_dtype="compute" (bf16-at-rest item matrix, the
     measured round-4 default) must serve BIT-IDENTICAL ids to the legacy
