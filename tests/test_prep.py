@@ -252,3 +252,36 @@ def test_vectorized_seen_hist_match_loop_reference():
     np.testing.assert_array_equal(got_sl, want_sl)
     np.testing.assert_array_equal(got_hist, want_hist)
     np.testing.assert_array_equal(got_hl, want_hl)
+
+
+def test_concurrent_prep_cache_is_atomic(tmp_path):
+    """Round-5 regression: two processes preparing the SAME uncached
+    config must both succeed — the loser of the os.replace race reads the
+    winner's complete file, never a half-written zip (observed BadZipFile
+    before the atomic publish in arec/data/io.py save_prepared)."""
+    import subprocess
+    import sys
+
+    import os
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prog = (
+        "from arec.config import DataConfig\n"
+        "from arec.data.io import load_or_prepare\n"
+        "ds = load_or_prepare(DataConfig(dataset='synthetic',\n"
+        "    data_dir=%r, syn_users=400, syn_items=300,\n"
+        "    syn_interactions=20000))\n"
+        "print('ROWS', ds.train_users.shape[0])\n"
+    ) % str(tmp_path / "d")
+    procs = [subprocess.Popen([sys.executable, "-c", prog],
+                              stdout=subprocess.PIPE, cwd=repo,
+                              stderr=subprocess.STDOUT, text=True)
+             for _ in range(3)]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o[-2000:]
+        assert "ROWS" in o
+    rows = {o.strip().split("ROWS ")[1] for o in outs}
+    assert len(rows) == 1                      # all read identical data
+    leftovers = [f for f in (tmp_path / "d").iterdir()
+                 if ".tmp" in f.name]
+    assert not leftovers, leftovers
