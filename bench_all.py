@@ -230,29 +230,51 @@ def _record(out, **rec):
 # metric/ref — weather scales both, a code regression scales only the metric.
 # ---------------------------------------------------------------------------
 
-_REF_JIT = None
+_REF_JITS: dict = {}
 
 
-def ref_workload_rate(iters=8, windows=5):
-    """Dispatches/s of a pinned bf16 matmul-scan (~1.5 ms device busy +
-    one launch each — sensitive to both chip contention and tunnel launch
-    latency, the two weather axes of every gated metric). Median-of-windows
-    with a scalar readback sync, same discipline as _bench_steps."""
-    global _REF_JIT
-    if _REF_JIT is None:
-        a = jnp.full((2048, 2048), 1e-3, jnp.bfloat16)
+def ref_workload_rate(iters=8, windows=5, kind="matmul"):
+    """Dispatches/s of a pinned reference workload, measured with the
+    same median-of-windows + scalar-readback discipline as _bench_steps.
 
-        @jax.jit
-        def f(x):
-            def body(c, _):
-                c = jax.lax.dot(c, a, preferred_element_type=jnp.float32)
-                c = (c / jnp.maximum(jnp.max(jnp.abs(c)), 1.0)).astype(
-                    jnp.bfloat16)
-                return c, ()
-            y, _ = jax.lax.scan(body, x, None, length=16)
-            return jnp.sum(y.astype(jnp.float32))
-        _REF_JIT = (f, jnp.full((2048, 2048), 1e-3, jnp.bfloat16))
-    f, x = _REF_JIT
+    kind="matmul": a bf16 matmul-scan (~1.5 ms device busy + one launch
+    each — sensitive to both chip contention and tunnel launch latency,
+    the weather axes of the TRAIN-shaped metrics).
+
+    kind="topk" (round 5): lax.top_k(30) over a pinned [512, 65536] f32
+    operand — sort-unit + HBM-stream bound, one launch per call. Added
+    after 8 canonical runs showed the retrieval_bigvocab metrics' ratios
+    vs the matmul ref spreading 1.38-1.39x (BASELINE.md round 5): the
+    top_k-bound sections decorrelate from a matmul proxy, exactly the
+    case the provenance spread-flag exists to catch. The operand is
+    passed as a jit ARGUMENT (a 128 MB closure would inline into the HLO
+    and 413 the remote compiler — CLAUDE.md)."""
+    if kind not in _REF_JITS:
+        if kind == "matmul":
+            a = jnp.full((2048, 2048), 1e-3, jnp.bfloat16)
+
+            @jax.jit
+            def f(x):
+                def body(c, _):
+                    c = jax.lax.dot(c, a, preferred_element_type=jnp.float32)
+                    c = (c / jnp.maximum(jnp.max(jnp.abs(c)), 1.0)).astype(
+                        jnp.bfloat16)
+                    return c, ()
+                y, _ = jax.lax.scan(body, x, None, length=16)
+                return jnp.sum(y.astype(jnp.float32))
+            _REF_JITS[kind] = (f, jnp.full((2048, 2048), 1e-3, jnp.bfloat16))
+        elif kind == "topk":
+            xx = jax.random.normal(jax.random.key(7), (512, 65536),
+                                   jnp.float32)
+
+            @jax.jit
+            def g(x):
+                v, _ = jax.lax.top_k(x, 30)
+                return jnp.sum(v)
+            _REF_JITS[kind] = (g, xx)
+        else:
+            raise ValueError(f"unknown ref workload kind {kind!r}")
+    f, x = _REF_JITS[kind]
     float(f(x))                                  # compile + prime readback
     per, times = max(1, iters // windows), []
     for _ in range(windows):
@@ -264,18 +286,21 @@ def ref_workload_rate(iters=8, windows=5):
     return per / sorted(times)[len(times) // 2]
 
 
-def _with_ref(out, fn, *args, **kw):
+def _with_ref(out, fn, *args, ref_kind="matmul", **kw):
     """Run one bench section bracketed by ref-workload measurements and
-    stamp every record it appended with ref_rate + the gated ratio."""
+    stamp every record it appended with ref_rate + the gated ratio (+ the
+    ref kind — ratios against different refs are different populations,
+    so floors and gates must never mix them)."""
     n0 = len(out)
-    r0 = ref_workload_rate()
+    r0 = ref_workload_rate(kind=ref_kind)
     res = fn(out, *args, **kw)
-    r1 = ref_workload_rate()
+    r1 = ref_workload_rate(kind=ref_kind)
     ref = min(r0, r1)   # conservative: gate against the SLOWER bracket, so
     for rec in out[n0:]:  # weather worsening mid-section can't fail the gate
         if isinstance(rec.get("value"), (int, float)):
             rec["ref_rate"] = round(ref, 2)
             rec["ratio"] = round(rec["value"] / ref, 3)
+            rec["ref_kind"] = ref_kind
     return res
 
 
@@ -619,6 +644,9 @@ def check_floors(out: list[dict], floors_path: str = "BENCH_FLOORS.json",
         rfl = ratio_floors.get(rec.get("metric"))
         if isinstance(rfl, dict) and isinstance(rec.get("ratio"),
                                                 (int, float)):
+            if rfl.get("ref_kind", "matmul") != rec.get("ref_kind",
+                                                        "matmul"):
+                continue   # ratio vs a different ref: not comparable
             if rec["ratio"] < rfl["floor"] * ratio_slack:
                 fails.append(
                     f"{rec['metric']}: weather-normalized ratio "
@@ -673,7 +701,10 @@ def main():
     if want("retrieval"):
         _with_ref(out, bench_retrieval, ds, mf_result)
     if want("retrieval_bigvocab"):
-        _with_ref(out, bench_retrieval_bigvocab)
+        # topk-shaped ref: these sections are sort-unit-bound and their
+        # ratio vs the matmul ref spread 1.38-1.39x over 8 canonical runs
+        # (round-5 decorrelation finding — ref_workload_rate docstring)
+        _with_ref(out, bench_retrieval_bigvocab, ref_kind="topk")
     if want("serve"):
         _with_ref(out, bench_serve)
 

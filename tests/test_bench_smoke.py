@@ -150,34 +150,74 @@ def test_check_floors_ratio_gate(bench_all, tmp_path):
     plain = [{"metric": "m", "value": 300.0}]
     assert bench_all.check_floors(plain, str(fp),
                                   ratio_floors_path=str(rfp)) == []
+    # ratio measured against a DIFFERENT ref kind than the floor: skipped
+    # (different populations — round-5 matmul→topk transition safety)
+    rfp2 = tmp_path / "ratio_floors2.json"
+    rfp2.write_text(json.dumps({"m": {"floor": 3.0, "ref_kind": "topk"}}))
+    crossref = [{"metric": "m", "value": 300.0, "ref_rate": 100.0,
+                 "ratio": 1.0}]   # ratio vs matmul; floor is vs topk
+    assert bench_all.check_floors(crossref, str(fp),
+                                  ratio_floors_path=str(rfp2)) == []
+    matched = [{"metric": "m", "value": 300.0, "ref_rate": 100.0,
+                "ratio": 1.0, "ref_kind": "topk"}]
+    assert len(bench_all.check_floors(matched, str(fp),
+                                      ratio_floors_path=str(rfp2))) == 1
 
 
 def test_update_ratio_floors_provenance():
-    """tools/update_ratio_floors.py (round 5): floors accumulate canonical
-    history — monotone floor by default, --reset re-records, spread > 1.25
-    is flagged as ref-workload decorrelation."""
+    """tools/update_ratio_floors.py (round 5): floor = MEDIAN of the
+    canonical history for the metric's current ref kind (robust to
+    ref-collapse outliers in either direction — the mf_train 1.43x
+    inflated-ratio finding); spread > 1.25 is flagged as ref-workload
+    decorrelation; a ref change re-records from the new population."""
     import sys
     sys.path.insert(0, "tools")
     from update_ratio_floors import build_floors
 
-    history = {"m": [3.0, 3.2, 2.5], "fresh": [7.0]}
+    history = {"m": ("matmul", [3.0, 3.2, 2.5]),
+               "fresh": ("matmul", [7.0])}
     old = {"_note": "x", "m": {"floor": 3.5, "n_runs": 3},
            "legacy_only": {"floor": 9.0, "n_runs": 2}}
     floors, flagged = build_floors(history, old)
-    assert floors["m"]["floor"] == 3.5          # never lowered by default
-    assert floors["m"]["n_runs"] == 3
+    assert floors["m"]["floor"] == 3.0          # median — the stale 3.5
+    assert floors["m"]["n_runs"] == 3           # floor does not persist
     assert floors["m"]["ratio_min"] == 2.5
     assert floors["m"]["ratio_max"] == 3.2
     assert floors["m"]["spread"] == round(3.2 / 2.5, 3)
     assert "m" in flagged                        # 1.28 > 1.25 decorrelation
-    assert floors["fresh"]["floor"] == 7.0       # new metric adopts best
+    assert floors["fresh"]["floor"] == 7.0       # single run = its median
     assert floors["legacy_only"]["floor"] == 9.0  # kept without history
-    # --reset re-records from observed history only
-    reset, _ = build_floors(history, old, reset=True)
-    assert reset["m"]["floor"] == 3.2
-    # a higher observed ratio TIGHTENS the floor without --reset
-    tighter, _ = build_floors({"m": [4.0]}, old)
-    assert tighter["m"]["floor"] == 4.0
+    # an inflated-ratio outlier (ref collapse) cannot poison the floor
+    poisoned, _ = build_floors(
+        {"m": ("matmul", [3.0, 3.1, 2.9, 5.1])}, old)
+    assert poisoned["m"]["floor"] == round((3.0 + 3.1) / 2, 3)
+    # a REF CHANGE re-records from the new-ref population only (the
+    # round-5 matmul→topk switch): the old floor must not carry over
+    switched, _ = build_floors({"m": ("topk", [120.0, 110.0])}, old)
+    assert switched["m"]["floor"] == 115.0
+    assert switched["m"]["ref_kind"] == "topk"
+    assert switched["m"]["n_runs"] == 2
+
+
+def test_canonical_ratios_uses_current_ref_population(tmp_path):
+    """canonical_ratios: a metric's population is the ratios against its
+    CURRENT (latest) ref kind; older-ref and non-canonical records are
+    excluded."""
+    import json
+    import sys
+    sys.path.insert(0, "tools")
+    from update_ratio_floors import canonical_ratios
+
+    p = tmp_path / "runs.jsonl"
+    rows = [
+        {"metric": "m", "ratio": 300.0, "kdisp": 64},               # matmul
+        {"metric": "m", "ratio": 310.0, "kdisp": 8},                # not canon
+        {"metric": "m", "ratio": 100.0, "kdisp": 64, "ref_kind": "topk"},
+        {"metric": "m", "ratio": 110.0, "kdisp": 64, "ref_kind": "topk"},
+    ]
+    p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    got = canonical_ratios(str(p))
+    assert got["m"] == ("topk", [100.0, 110.0])
 
 
 def test_check_forces_canonical_invocation_shape():
